@@ -1,0 +1,52 @@
+"""Payload dispatch + error channel: the per-document operator.
+
+Mirrors the reference worker's contract (Worker.java:79-121
+``handleOcrTask``): every payload yields exactly one result row;
+failures become rows with an error marker, never exceptions — one bad
+document must not kill a partition (Worker.java:133-143
+``sendException``; SURVEY.md §2c-2).
+
+EXTRACTOR_VERSION is part of the output contract: bump it whenever the
+heuristics change, because golden sha256 manifests pin the output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .html_extract import extract_html
+from .pdf_extract import extract_pdf
+
+EXTRACTOR_VERSION = "1"
+
+STATUS_OK = "ok"
+STATUS_OK_PDF = "ok_pdf"
+STATUS_EMPTY = "empty"
+STATUS_ERROR = "error"
+
+
+@dataclass(frozen=True)
+class ExtractResult:
+    text: str
+    spans: list  # [(start, end, kind)]
+    status: str
+    error: str | None
+
+
+def extract_payload(payload: bytes | None) -> ExtractResult:
+    """bytes -> ExtractResult; total function, never raises."""
+    if payload is None or len(payload) == 0:
+        return ExtractResult("", [], STATUS_EMPTY, None)
+    try:
+        if payload[:5] == b"%PDF-":
+            text, spans = extract_pdf(payload)
+            if not text:
+                return ExtractResult("", [], STATUS_EMPTY, None)
+            return ExtractResult(text, spans, STATUS_OK_PDF, None)
+        text, spans = extract_html(payload)
+        if not text:
+            return ExtractResult("", [], STATUS_EMPTY, None)
+        return ExtractResult(text, spans, STATUS_OK, None)
+    except Exception as exc:  # noqa: BLE001 — errors are rows by contract
+        msg = f"{type(exc).__name__}: {exc}"
+        return ExtractResult("", [], STATUS_ERROR, msg[:500])

@@ -1,0 +1,1 @@
+"""Spark operator implementations (SURVEY.md §2 inventory)."""

@@ -1,0 +1,121 @@
+"""Checkpointed snapshot manifests + resume (SURVEY.md §4 custom row).
+
+The reference has NO resume: if the manager dies, all accounting is
+lost (Manager.java:50-60 heap maps; clients only see
+MANAGER_TERMINATED, Manager.java:430-437). This module is the
+Spark-native replacement for its count-based completion barrier (O9)
+and at-least-once redelivery (O14): output commits are atomic
+(write to run dir, then single-writer snapshot JSON rename), and a
+restarted job left-anti-joins the input against the processed-url set,
+so killed jobs resume with ZERO reprocessing and duplicates from
+retries are impossible (exactly-once output).
+
+Layout (plain parquet standing in for Iceberg — no Iceberg runtime jar
+in this container; the snapshot JSON mirrors Iceberg's
+snapshot->manifest-list indirection and a real catalog slots in here):
+
+    out_dir/
+      extracted/run_id=<rid>/*.parquet   data files, partitioned by run
+      lineage/run_id=<rid>/*.parquet     per-partition metrics
+      manifest/*.parquet                 final url->count summary
+      _checkpoint/
+        processed/<rid>.parquet          (url, text_sha256) per run
+        snapshot-<n>.json                {"runs": [...], "n": n}
+        LATEST                           name of current snapshot (atomic rename)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.bloom import build_bloom, with_bloom_flag
+
+
+def _ckpt(out_dir: str) -> str:
+    return os.path.join(out_dir, "_checkpoint")
+
+
+def load_snapshot(out_dir: str) -> dict | None:
+    latest = os.path.join(_ckpt(out_dir), "LATEST")
+    if not os.path.exists(latest):
+        return None
+    with open(latest) as f:
+        name = f.read().strip()
+    with open(os.path.join(_ckpt(out_dir), name)) as f:
+        return json.load(f)
+
+
+def processed_urls(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Union of processed-url manifests named by the current snapshot.
+    Uncommitted runs (crash before snapshot rename) are invisible —
+    that is the exactly-once property."""
+    snap = load_snapshot(out_dir)
+    if not snap or not snap["runs"]:
+        return None
+    paths = [
+        os.path.join(_ckpt(out_dir), "processed", f"{rid}.parquet")
+        for rid in snap["runs"]
+    ]
+    return spark.read.parquet(*paths)
+
+
+def commit_run(spark: SparkSession, out_dir: str, run_id: str) -> dict:
+    """Write this run's processed-url manifest from its *written*
+    extracted data, then atomically publish a new snapshot. Single
+    writer assumed (documented; a real catalog provides CAS here)."""
+    ck = _ckpt(out_dir)
+    os.makedirs(os.path.join(ck, "processed"), exist_ok=True)
+    run_data = os.path.join(out_dir, "extracted", f"run_id={run_id}")
+    proc_path = os.path.join(ck, "processed", f"{run_id}.parquet")
+    (
+        spark.read.parquet(run_data)
+        .select("url", F.sha2(F.col("text"), 256).alias("text_sha256"))
+        .write.mode("overwrite")
+        .parquet(proc_path)
+    )
+    prev = load_snapshot(out_dir)
+    n = (prev["n"] + 1) if prev else 0
+    runs = (prev["runs"] if prev else []) + [run_id]
+    snap = {"n": n, "runs": runs}
+    name = f"snapshot-{n}.json"
+    with open(os.path.join(ck, name), "w") as f:
+        json.dump(snap, f)
+    fd, tmp = tempfile.mkstemp(dir=ck)
+    with os.fdopen(fd, "w") as f:
+        f.write(name)
+    os.replace(tmp, os.path.join(ck, "LATEST"))  # atomic commit point
+    return snap
+
+
+def pending(
+    pages: DataFrame,
+    processed: DataFrame | None,
+    bloom_threshold: int = 10_000,
+) -> DataFrame:
+    """Rows of ``pages`` whose url is not yet processed.
+
+    Exact mechanism: left-anti join on url. When the processed set is
+    large, a bloom prefilter splits the input first — rows whose url
+    hash misses the bloom are DEFINITELY unprocessed and skip the
+    anti-join shuffle entirely; only bloom hits (processed + false
+    positives) pay it. At 10^12 docs with a mostly-complete prior run,
+    that converts the anti-join from full-input-shuffle to
+    tiny-remnant-shuffle.
+    """
+    if processed is None:
+        return pages
+    n_proc = processed.count()
+    keys = processed.select("url")
+    if n_proc < bloom_threshold:
+        return pages.join(F.broadcast(keys), "url", "left_anti")
+    bloom = build_bloom(keys, "url", expected=n_proc, fpp=0.01)
+    flagged = with_bloom_flag(pages, "url", bloom)
+    definitely_new = flagged.filter(~F.col("_in_bloom")).drop("_in_bloom")
+    candidates = flagged.filter(F.col("_in_bloom")).drop("_in_bloom")
+    remnant = candidates.join(keys, "url", "left_anti")
+    return definitely_new.unionByName(remnant)

@@ -1,0 +1,105 @@
+"""End-to-end extraction pipeline (SURVEY.md §3.2 Spark equivalent).
+
+    pages --filter(O2)--> distinct-latest(O8) --anti-join resume-->
+    salted repartition(O3) --> mapInPandas extract (O4/O5/O6) -->
+    write extracted(O11) --> commit snapshot --> manifest(O7/O10) +
+    lineage(O17)
+
+One shuffle feeds the extract stage (the salted repartition); the
+dedup window and manifest aggregation each shuffle on url. Everything
+else is narrow. At scale the extract stage dominates; its input
+partitioning is explicitly uniform (see operators.partitioning).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.extract import extract_stage
+from .operators.lineage import lineage_from_extracted
+from .operators.manifest import build_manifest, filter_nonblank, latest_per_key
+from .operators.partitioning import salted_repartition
+from .operators.resume import commit_run, pending, processed_urls
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str | None = None,
+    num_partitions: int | None = None,
+    write_manifest: bool = True,
+) -> dict:
+    """Run (or resume) the extraction job; returns summary counts/paths.
+
+    run_id is a caller-supplied parameter (deterministic, resumable) —
+    the reference's random UUID job ids (GeneralUtils.java:46-48) are
+    replaced so reruns are addressable.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    pages = filter_nonblank(pages)
+
+    # O8 first: extract once per distinct url (latest crawl wins).
+    distinct_pages = latest_per_key(pages)
+
+    # Resume: drop urls already committed by a prior snapshot.
+    todo = pending(distinct_pages, processed_urls(spark, out_dir))
+
+    # O3: uniform fan-out for the expensive stage.
+    todo = salted_repartition(todo, "url", num_partitions)
+
+    # O4/O5/O6 + O11: extract and commit this run's data files.
+    extracted_dir = os.path.join(out_dir, "extracted")
+    run_dir = os.path.join(extracted_dir, f"run_id={run_id}")
+    extract_stage(todo).write.mode("overwrite").parquet(run_dir)
+
+    # Atomic snapshot publish (exactly-once boundary).
+    snap = commit_run(spark, out_dir, run_id)
+
+    # O17: lineage from the written files (no re-extraction).
+    run_extracted = spark.read.parquet(run_dir)
+    lineage_dir = os.path.join(out_dir, "lineage", f"run_id={run_id}")
+    lineage_from_extracted(run_extracted, run_id).write.mode(
+        "overwrite"
+    ).parquet(lineage_dir)
+
+    n_extracted = run_extracted.count()
+
+    # O7/O10: manifest over the FULL input vs ALL committed runs.
+    manifest_path = None
+    if write_manifest:
+        all_extracted = spark.read.option("basePath", extracted_dir).parquet(
+            *[
+                os.path.join(extracted_dir, f"run_id={r}")
+                for r in snap["runs"]
+            ]
+        )
+        manifest_df = build_manifest(pages, all_extracted)
+        manifest_path = os.path.join(out_dir, "manifest")
+        manifest_df.write.mode("overwrite").parquet(manifest_path)
+
+    return {
+        "run_id": run_id,
+        "snapshot": snap,
+        "n_extracted_this_run": n_extracted,
+        "extracted_path": run_dir,
+        "manifest_path": manifest_path,
+        "lineage_path": lineage_dir,
+    }
+
+
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All committed extracted rows (snapshot-scoped, like an Iceberg
+    table read — uncommitted run dirs are never visible)."""
+    from .operators.resume import load_snapshot
+
+    snap = load_snapshot(out_dir)
+    if not snap or not snap["runs"]:
+        raise FileNotFoundError(f"no committed snapshot under {out_dir}")
+    base = os.path.join(out_dir, "extracted")
+    return spark.read.option("basePath", base).parquet(
+        *[os.path.join(base, f"run_id={r}") for r in snap["runs"]]
+    )

@@ -1,0 +1,141 @@
+"""End-to-end pipeline tests: determinism, multiplicity, resume,
+lineage, plan hygiene (SURVEY.md §5.2/§5.4)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from distributed_system___ocr_spark.operators.extract import extract_stage
+from distributed_system___ocr_spark.operators.manifest import latest_per_key
+from distributed_system___ocr_spark.operators.partitioning import (
+    salted_repartition,
+)
+from distributed_system___ocr_spark.pipeline import read_extracted, run_pipeline
+
+
+def test_end_to_end(spark, pages, tmp_path):
+    out = str(tmp_path / "out")
+    info = run_pipeline(spark, pages, out, run_id="r1", num_partitions=8)
+
+    n_urls = pages.select("url").distinct().count()
+    assert info["n_extracted_this_run"] == n_urls
+
+    extracted = read_extracted(spark, out)
+    assert extracted.count() == n_urls
+    assert extracted.select("url").distinct().count() == n_urls
+
+    # manifest multiplicity: counts re-expand to the input size
+    manifest = spark.read.parquet(info["manifest_path"])
+    assert manifest.count() == n_urls
+    assert (
+        manifest.agg(F.sum("n_occurrences")).collect()[0][0] == pages.count()
+    )
+    # every url got a status (errors are rows, never dropped)
+    assert manifest.filter(F.col("status").isNull()).count() == 0
+
+    # lineage accounting covers every extracted row exactly once
+    lineage = spark.read.parquet(info["lineage_path"])
+    agg = lineage.agg(
+        F.sum("rows_out").alias("rows"),
+        F.sum("n_ok").alias("ok"),
+        F.sum("n_pdf").alias("pdf"),
+        F.sum("n_empty").alias("empty"),
+        F.sum("n_failed").alias("failed"),
+    ).collect()[0]
+    assert agg["rows"] == n_urls
+    assert agg["ok"] + agg["pdf"] + agg["empty"] + agg["failed"] == n_urls
+    assert agg["ok"] > 0 and agg["pdf"] > 0
+    assert (lineage.select("wall_ms").agg(F.min("wall_ms")).collect()[0][0]) >= 0
+
+
+def test_byte_identical_across_parallelism(spark, pages):
+    """The correctness contract (§2c-1): same text per url no matter
+    the partitioning."""
+    d = latest_per_key(pages)
+    h1 = (
+        extract_stage(salted_repartition(d, num_partitions=2))
+        .select("url", F.sha2("text", 256).alias("h"))
+        .collect()
+    )
+    h2 = (
+        extract_stage(salted_repartition(d, num_partitions=13, seed=7))
+        .select("url", F.sha2("text", 256).alias("h"))
+        .collect()
+    )
+    m1 = {r["url"]: r["h"] for r in h1}
+    m2 = {r["url"]: r["h"] for r in h2}
+    assert m1 == m2
+    assert len(m1) == d.count()
+
+
+def test_rerun_is_stable_and_resume_skips_done(spark, pages, tmp_path):
+    """Kill-rerun semantics: a second run over a superset input
+    extracts ONLY new urls (anti-join resume, zero reprocessing)."""
+    out = str(tmp_path / "out")
+    first = pages.limit(300)
+    info1 = run_pipeline(spark, first, out, run_id="r1", num_partitions=4)
+    n1 = first.select("url").distinct().count()
+    assert info1["n_extracted_this_run"] == n1
+
+    info2 = run_pipeline(spark, pages, out, run_id="r2", num_partitions=4)
+    n_all = pages.select("url").distinct().count()
+    assert info2["n_extracted_this_run"] == n_all - n1  # zero reprocessed
+
+    extracted = read_extracted(spark, out)
+    assert extracted.count() == n_all
+    assert extracted.select("url").distinct().count() == n_all
+
+    # a third run with nothing new extracts nothing
+    info3 = run_pipeline(spark, pages, out, run_id="r3", num_partitions=4)
+    assert info3["n_extracted_this_run"] == 0
+
+
+def test_crash_before_commit_invisible(spark, pages, tmp_path):
+    """A run dir without a snapshot commit must be invisible to readers
+    and re-done on resume (exactly-once boundary)."""
+    out = str(tmp_path / "out")
+    run_pipeline(spark, pages.limit(100), out, run_id="r1", num_partitions=4)
+    # simulate a crashed run: data files exist, never committed
+    orphan = os.path.join(out, "extracted", "run_id=orphan")
+    extract_stage(latest_per_key(pages.limit(150))).write.parquet(orphan)
+    snap_runs = read_extracted(spark, out).select("run_id").distinct().collect()
+    assert {r["run_id"] for r in snap_runs} == {"r1"}
+
+
+def test_plan_hygiene_no_rowwise_python(spark, pages):
+    """Audit (§7-4): extract stage plan = one MapInPandas, no
+    row-at-a-time Python (BatchEvalPython), input exchange is the
+    salted hash repartition."""
+    d = salted_repartition(pages, num_partitions=8)
+    plan = extract_stage(d)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "xxhash64" in plan  # the salted exchange
+
+
+def test_error_rows_counted_complete(spark):
+    """Corrupt payloads yield rows that count toward completion
+    (Worker.java:86-98 + Manager.java:223 analogue)."""
+    import pandas as pd
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(4)],
+            "warc_ts": [ts] * 4,
+            "html": [b"<p>" + b"good content " * 5 + b"</p>",
+                     b"\xff\xfe garbage", b"", None],
+            "text": [""] * 4,
+            "lang": ["en"] * 4,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    res = extract_stage(df).collect()
+    assert len(res) == 4  # nothing dropped
+    by_url = {r["url"]: r for r in res}
+    assert by_url["u0"]["status"] == "ok"
+    assert by_url["u2"]["status"] == "empty"
+    assert by_url["u3"]["status"] == "empty"
