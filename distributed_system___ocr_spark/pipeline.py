@@ -22,7 +22,12 @@ from .operators.extract import extract_stage
 from .operators.lineage import lineage_from_extracted
 from .operators.manifest import build_manifest, filter_nonblank, latest_per_key
 from .operators.partitioning import salted_repartition
-from .operators.resume import commit_run, pending, processed_urls
+from .operators.resume import (
+    commit_run,
+    load_snapshot,
+    pending,
+    processed_urls,
+)
 
 
 def run_pipeline(
@@ -40,6 +45,15 @@ def run_pipeline(
     replaced so reruns are addressable.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
+    prev = load_snapshot(out_dir)
+    if prev and run_id in prev["runs"]:
+        # Replaying a committed run must not clobber its data files
+        # (the overwrite below would). Idempotent-rerun means: new
+        # run_id, resume skips done urls.
+        raise ValueError(
+            f"run_id {run_id!r} is already committed in {out_dir}; "
+            "rerun with a fresh run_id to resume"
+        )
     pages = filter_nonblank(pages)
 
     # O8 first: extract once per distinct url (latest crawl wins).

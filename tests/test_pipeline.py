@@ -104,6 +104,18 @@ def test_crash_before_commit_invisible(spark, pages, tmp_path):
     assert {r["run_id"] for r in snap_runs} == {"r1"}
 
 
+def test_replay_of_committed_run_id_rejected(spark, pages, tmp_path):
+    """Replaying a committed run_id must not clobber its data files
+    (found by runtime probe: the overwrite emptied the run dir)."""
+    import pytest
+
+    out = str(tmp_path / "out")
+    run_pipeline(spark, pages.limit(50), out, run_id="r1", num_partitions=4)
+    with pytest.raises(ValueError, match="already committed"):
+        run_pipeline(spark, pages.limit(50), out, run_id="r1", num_partitions=4)
+    assert read_extracted(spark, out).count() > 0
+
+
 def test_plan_hygiene_no_rowwise_python(spark, pages):
     """Audit (§7-4): extract stage plan = one MapInPandas, no
     row-at-a-time Python (BatchEvalPython), input exchange is the
