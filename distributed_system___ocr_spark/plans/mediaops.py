@@ -1,0 +1,35 @@
+"""Multimodal metadata extraction as a registry query.
+
+The Spark side runs the REAL plumbing (binary payload column ->
+Arrow-batched mapInPandas -> typed metadata struct, see
+operators.multimodal); the oracle reproduces the deterministic fake
+decode arithmetic in SQL, which is possible precisely because the
+stubbed decode is a pure function of the bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import media_meta_stage
+from .queries import _t, register
+
+
+@register(
+    "multimodal_media_meta",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha256,
+           CAST(64 + (octet_length(encode(text)) % 512) AS INT) AS width,
+           CAST(64 + ((octet_length(encode(text)) // 7) % 512) AS INT) AS height,
+           CAST(1 + (octet_length(encode(text)) % 4) AS INT) AS n_frames,
+           'ok_stub' AS status
+    FROM documents
+    """,
+)
+def multimodal_media_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return media_meta_stage(docs, "doc_id", "payload")

@@ -1,0 +1,244 @@
+"""Similarity search over the ``embeddings`` table: brute-force cosine
+top-k (the exactness baseline) and a random-hyperplane LSH bucketing
+(the scale path), plus embedding-cosine near-dup pairs.
+
+Cross-engine determinism: embeddings are float32 in the parquet; both
+sides cast to DOUBLE before any arithmetic, dot products are linear
+left-to-right folds in both engines, and reported similarities are
+rounded to 6 decimals. Hyperplanes are literal constants generated
+from a seeded RNG at module import (same literals embedded in the SQL
+text), so there is no runtime randomness anywhere.
+
+Scale notes: brute-force is O(Q*N) — fine for small Q (it is the
+re-rank stage of any ANN scheme); the LSH bucketing is the shuffle-
+based candidate generator (explode 8 sign bits -> equi-join on
+bucket), the same shape as the MinHash band join in textops.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from .queries import _t, register
+
+_DIM = 64
+_N_PLANES = 8
+_QUERY_IDS = (0, 1, 2)
+_TOP_K = 5
+
+_rng = random.Random(7)
+HYPERPLANES = [
+    [round(_rng.uniform(-1.0, 1.0), 6) for _ in range(_DIM)]
+    for _ in range(_N_PLANES)
+]
+
+
+def _spark_dvec(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _spark_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _duck_plane_literal(p):
+    return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+
+# --------------------------------------------------------------------------
+# brute-force cosine top-k (exact kNN baseline)
+# --------------------------------------------------------------------------
+
+@register(
+    "knn_brute_cosine",
+    f"""
+    WITH dv AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM dv q JOIN dv c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id IN {_QUERY_IDS}
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim, rnk FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      FROM pairs
+    ) WHERE rnk <= {_TOP_K}
+    """,
+)
+def knn_brute_cosine(spark, sf_dir):
+    """Queries are broadcast against the corpus — the scan side never
+    shuffles, which is the property that matters at 10^12 rows."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _spark_dvec(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    cos = _spark_dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_spark_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_spark_dot(F.col("cv"), F.col("cv")))
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"), "rnk",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# random-hyperplane LSH bucketing (ANN candidate generator)
+# --------------------------------------------------------------------------
+
+_DUCK_BUCKET = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_duck_plane_literal(p)}) > 0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(HYPERPLANES)
+)
+
+
+@register(
+    "ann_lsh_buckets",
+    f"""
+    WITH dv AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT CAST({_DUCK_BUCKET} AS BIGINT) AS bucket,
+           count(*) AS n_vectors,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id
+    FROM dv GROUP BY 1
+    """,
+)
+def ann_lsh_buckets(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _spark_dvec(F.col("embedding")).alias("v")
+    )
+    bucket = sum(
+        [
+            F.when(
+                _spark_dot(
+                    F.col("v"), F.array(*[F.lit(x) for x in p])
+                ) > 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+            for i, p in enumerate(HYPERPLANES)
+        ],
+        F.lit(0),
+    ).cast("long")
+    return (
+        emb.select("vec_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("vec_id").cast("long").alias("min_vec_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup pairs within LSH buckets
+# --------------------------------------------------------------------------
+
+@register(
+    "embedding_near_dup",
+    f"""
+    WITH dv AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < 200
+    ),
+    b AS (
+      SELECT vec_id, v, CAST({_DUCK_BUCKET} AS BIGINT) AS bucket FROM dv
+    )
+    SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
+           round(list_dot_product(a.v, b2.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b2.v, b2.v))), 6) AS cos_sim
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE list_dot_product(a.v, b2.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b2.v, b2.v))) >= 0.5
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    """Bucketed near-dup: pairs compared ONLY within an LSH bucket —
+    the sub-quadratic structure; the vec_id bound only caps the oracle
+    comparison size."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", _spark_dvec(F.col("embedding")).alias("v"))
+    )
+    bucket = sum(
+        [
+            F.when(
+                _spark_dot(F.col("v"), F.array(*[F.lit(x) for x in p])) > 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+            for i, p in enumerate(HYPERPLANES)
+        ],
+        F.lit(0),
+    ).cast("long")
+    b = emb.withColumn("bucket", bucket)
+    a = b.alias("a")
+    c = b.alias("c")
+    cos = _spark_dot(F.col("a.v"), F.col("c.v")) / (
+        F.sqrt(_spark_dot(F.col("a.v"), F.col("a.v")))
+        * F.sqrt(_spark_dot(F.col("c.v"), F.col("c.v")))
+    )
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .filter(cos >= 0.5)
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("c.vec_id").alias("b_id"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# per-row norms (vector scalar functions)
+# --------------------------------------------------------------------------
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id, label,
+           round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    v = _spark_dvec(F.col("embedding"))
+    return emb.select(
+        "vec_id", "label",
+        F.round(F.sqrt(_spark_dot(v, v)), 6).alias("l2_norm"),
+    )

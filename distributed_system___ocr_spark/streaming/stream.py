@@ -1,0 +1,114 @@
+"""Structured Streaming forms of the engine's operators.
+
+The reference's poll loops (Manager.java:143-163, Worker.java:50-73)
+are an unbounded at-least-once message stream; SURVEY.md §2b decides
+the engine is batch-first, with streaming available as a thin wrapper:
+``readStream`` -> the SAME stage functions -> ``writeStream``. Two
+wrappers are provided:
+
+- :func:`windowed_event_counts_stream` — tumbling-window aggregation
+  with complete-mode memory sink (the micro-batch analogue of the
+  manager's periodic accounting);
+- :func:`extract_foreach_batch` — the extraction stage driven by a
+  file-source stream with ``foreachBatch`` committing each micro-batch
+  through the SAME snapshot/resume layer as batch runs, so streaming
+  output is exactly-once too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts_stream(
+    spark: SparkSession, events_path: str, table_name: str = "stream_win_counts"
+) -> DataFrame:
+    """Run a 5-minute tumbling-window count over the events parquet as
+    a bounded stream; returns the complete-mode result table.
+
+    Deterministic: the source is bounded, the window is event-time
+    (no wall clock), complete mode emits the full final state —
+    so the result equals the batch aggregation (same oracle SQL).
+    """
+    import os
+
+    schema = spark.read.parquet(events_path).schema
+    # the file-stream source needs a directory: stream the parent dir
+    # filtered to this one file (works for single-file test tables and
+    # unchanged for a real directory-of-parts table)
+    if os.path.isfile(events_path):
+        reader = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(events_path))
+            .parquet(os.path.dirname(events_path))
+        )
+    else:
+        reader = spark.readStream.schema(schema).parquet(events_path)
+    stream = reader
+    agg = (
+        stream.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+    for q in spark.streams.active:
+        if q.name == table_name:
+            q.stop()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(table_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(table_name)
+
+
+def extract_foreach_batch(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    run_prefix: str = "stream",
+    checkpoint_dir: str | None = None,
+) -> list[dict]:
+    """Streamed extraction: each micro-batch goes through the identical
+    batch pipeline (dedup -> resume anti-join -> salted repartition ->
+    extract -> snapshot commit), so a crashed stream resumes without
+    reprocessing, and re-delivered files are dropped by the
+    processed-url manifest — the Spark-native version of the
+    reference's visibility-timeout redelivery (O14)."""
+    from ..pipeline import run_pipeline
+
+    schema = spark.read.parquet(pages_path).schema
+    stream = spark.readStream.schema(schema).parquet(pages_path)
+    results: list[dict] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        info = run_pipeline(
+            spark,
+            batch_df,
+            out_dir,
+            run_id=f"{run_prefix}-{epoch_id}",
+            write_manifest=False,
+        )
+        results.append(info)
+
+    writer = stream.writeStream.foreachBatch(handle)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return results
