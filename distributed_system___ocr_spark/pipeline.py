@@ -62,8 +62,15 @@ def run_pipeline(
     # Resume: drop urls already committed by a prior snapshot.
     todo = pending(distinct_pages, processed_urls(spark, out_dir))
 
-    # O3: uniform fan-out for the expensive stage.
-    todo = salted_repartition(todo, "url", num_partitions)
+    # O3: uniform fan-out for the expensive stage. The dedup window
+    # above ALREADY exchanged rows on hash(url) — a uniform key — so by
+    # default the extract stage reuses that partitioning and pays no
+    # second shuffle of the payload bytes (at 10^12 docs the payload
+    # re-shuffle would be the single largest cost in the job). An
+    # explicit num_partitions forces a fresh salted exchange (used when
+    # the caller must match a parallelism level, e.g. bench runs).
+    if num_partitions is not None:
+        todo = salted_repartition(todo, "url", num_partitions)
 
     # O4/O5/O6 + O11: extract and commit this run's data files.
     extracted_dir = os.path.join(out_dir, "extracted")

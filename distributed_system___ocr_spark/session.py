@@ -21,7 +21,8 @@ def get_spark(
     app_name: str = "dsocr-extraction",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch: int = 256,
+    arrow_batch: int = 1024,
+    max_partition_bytes: str = "16m",
     extra: dict | None = None,
 ) -> SparkSession:
     """Session tuned for the extraction workload.
@@ -30,10 +31,14 @@ def get_spark(
       replacement for the reference's static ceil(tasks/n) sizing
       (Manager.java:376-377).
     - UTC session timezone (duckdb-oracle comparability).
-    - Small Arrow batches for the extract stage: payloads are KB-sized
-      binaries, so 256 rows/batch keeps Arrow transfer chunks ~1-2 MB
-      and extraction latency per batch low (the reference's analogue:
-      <=5 messages per poll, Manager.java:146).
+    - Arrow batches of 1024 rows (~3 MB of payload) amortize IPC
+      framing while keeping batches memory-safe (the reference's
+      analogue: <=5 messages per poll, Manager.java:146).
+    - files.maxPartitionBytes=16m locally: payload extraction costs
+      ~ms/KB of input, so a 128 MB split is ~2 min of Python work —
+      fine on a 1000-executor cluster (amortizes task overhead),
+      far too coarse for a 32-thread local box. Scale this with the
+      cluster, not the data.
     """
     if master is None:
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{default_parallelism()}]")
@@ -52,6 +57,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", max_partition_bytes),
+        )
+        .config("spark.sql.files.openCostInBytes", "512k")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
