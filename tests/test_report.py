@@ -1,0 +1,106 @@
+"""O12 report format parity (LocalApplication.java:158-216) and
+streaming-extraction exactly-once (foreachBatch through the same
+snapshot layer)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from distributed_system___ocr_spark.pipeline import read_extracted, run_pipeline
+from distributed_system___ocr_spark.report import (
+    FOOTER,
+    HEADER,
+    render_report,
+)
+from distributed_system___ocr_spark.streaming.stream import (
+    extract_foreach_batch,
+    windowed_event_counts_stream,
+)
+
+
+def _mini_tables(spark):
+    ts = dt.datetime(2024, 1, 1)
+    manifest = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["http://a/1", "http://b/2", "http://c/3"],
+                "n_occurrences": [2, 1, 1],
+            }
+        )
+    )
+    extracted = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["http://a/1", "http://b/2", "http://c/3"],
+                "text": ["line one\nline two", "plain", ""],
+                "status": ["ok", "ok", "error"],
+                "error": [None, None, "Image download error"],
+            }
+        )
+    )
+    return manifest, extracted
+
+
+def test_report_format_matches_reference(spark):
+    manifest, extracted = _mini_tables(spark)
+    html = render_report(manifest, extracted)
+    assert html.startswith(HEADER)
+    assert html.endswith(FOOTER)
+    blocks = re.findall(r"\t<p>\n\t\t<img src=(.*?)><br/>\n\t\t(.*?)\n\t</p>\n",
+                        html, re.DOTALL)
+    # multiplicity re-expansion: url a appears twice (LA:187-200)
+    urls = [u for u, _ in blocks]
+    assert urls == ["http://a/1", "http://a/1", "http://b/2", "http://c/3"]
+    by_url = dict(blocks)  # last block per url
+    assert by_url["http://a/1"] == "line one<br/>line two"  # \n -> <br/> (LA:191)
+    assert by_url["http://c/3"] == "Image download error"  # errors rendered as data
+
+
+def test_report_refuses_oversized(spark):
+    manifest, extracted = _mini_tables(spark)
+    import pytest
+
+    with pytest.raises(ValueError, match="filter the manifest"):
+        render_report(manifest, extracted, max_rows=2)
+
+
+def test_streaming_extract_exactly_once(spark, pages, tmp_path):
+    """File-stream + foreachBatch commits through the same snapshot
+    layer: a second stream over the SAME directory (fresh stream
+    checkpoint, simulating redelivery) extracts zero new urls."""
+    src = str(tmp_path / "pages_src")
+    pages.limit(200).write.parquet(src)
+    out = str(tmp_path / "out")
+
+    runs1 = extract_foreach_batch(spark, src, out, run_prefix="s1")
+    n1 = sum(r["n_extracted_this_run"] for r in runs1)
+    n_urls = spark.read.parquet(src).select("url").distinct().count()
+    assert n1 == n_urls
+
+    # redelivery: new stream, no stream checkpoint -> every file replayed,
+    # but the processed-url manifest drops all of them
+    runs2 = extract_foreach_batch(spark, src, out, run_prefix="s2")
+    n2 = sum(r["n_extracted_this_run"] for r in runs2)
+    assert n2 == 0
+    assert read_extracted(spark, out).count() == n_urls
+
+
+def test_streaming_windowed_equals_batch(spark):
+    stream_res = windowed_event_counts_stream(
+        spark, "/root/testdata/sf0.001/events.parquet", "win_eq_batch"
+    )
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    a = {(r["window_start"], r["event_type"], r["n"])
+         for r in stream_res.select("window_start", "event_type", "n").collect()}
+    b = {(r["window_start"], r["event_type"], r["n"]) for r in batch.collect()}
+    assert a == b
