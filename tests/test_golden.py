@@ -1,0 +1,53 @@
+"""Golden corpus: byte-identical extracted text per url, pinned as a
+committed sha256 manifest (the Spark analogue of the reference's
+golden HTML outputs, SURVEY.md §5). Any change to the extractor
+heuristics must bump EXTRACTOR_VERSION and regenerate the manifest."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from distributed_system___ocr_spark.extractor.core import EXTRACTOR_VERSION
+from distributed_system___ocr_spark.operators.extract import extract_stage
+from distributed_system___ocr_spark.operators.manifest import latest_per_key
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden_corpus_sha256.json")
+
+
+def test_extracted_text_matches_golden(spark, pages):
+    with open(GOLDEN) as f:
+        golden = json.load(f)
+    assert golden["extractor_version"] == EXTRACTOR_VERSION
+
+    rows = (
+        extract_stage(latest_per_key(pages))
+        .select("url", F.sha2("text", 256).alias("h"), "status")
+        .collect()
+    )
+    assert len(rows) == len(golden["urls"])
+    mismatches = []
+    for r in rows:
+        g = golden["urls"][r["url"]]
+        if r["h"] != g["sha256"] or r["status"] != g["status"]:
+            mismatches.append(r["url"])
+    assert not mismatches, f"{len(mismatches)} urls diverge: {mismatches[:5]}"
+
+
+def test_pure_python_agrees_with_spark_stage():
+    """The Spark stage must be a transparent wrapper: pure-Python
+    extraction of the same bytes gives the same hashes (no hidden
+    state in the UDF path)."""
+    from distributed_system___ocr_spark.corpus import page_row
+    from distributed_system___ocr_spark.extractor import extract_payload
+
+    with open(GOLDEN) as f:
+        golden = json.load(f)
+    for i in (0, 7, 42, 99, 313):
+        row = page_row(i, seed=42)
+        res = extract_payload(row["html"])
+        g = golden["urls"][row["url"]]
+        assert hashlib.sha256(res.text.encode()).hexdigest() == g["sha256"]
