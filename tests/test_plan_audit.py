@@ -44,7 +44,8 @@ def test_wholestage_codegen_on_relational_path(spark):
     df.collect()  # AQE finalizes the physical plan on execution
     plan = _plan(df)
     assert "isFinalPlan=true" in plan
-    assert "WholeStageCodegen" in plan
+    assert "*(1)" in plan  # WholeStageCodegen span markers
+    assert "partial_sum" in plan  # map-side combine before the shuffle
     assert "BatchEvalPython" not in plan
 
 
