@@ -1,0 +1,194 @@
+"""Extended relational coverage: as-of join, multi-way TPC-H-style
+join, semi-join (EXISTS), scalar subquery, INTERSECT, UNION,
+approximate/exact quantiles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from .queries import _t, register
+
+
+# --------------------------------------------------------------------------
+# as-of join: each click matched to the user's most recent prior purchase
+# --------------------------------------------------------------------------
+
+@register(
+    "asof_click_to_purchase",
+    """
+    SELECT c.event_id, c.user_id, c.ts,
+           p.event_id AS asof_event_id,
+           p.value    AS asof_value,
+           p.ts       AS asof_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_click_to_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, purchases, key="user_id", ts="ts",
+        right_cols=["event_id", "value"],
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5-style: 6-table join, local-supplier revenue per nation
+# --------------------------------------------------------------------------
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """Fact table joins dims; every dim is broadcast, so the lineitem
+    scan never shuffles until the final (tiny) aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,6)")
+        ).cast("double").alias("revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# semi-join (EXISTS)
+# --------------------------------------------------------------------------
+
+@register(
+    "semi_join_big_spenders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 200000)
+    """,
+)
+def semi_join_big_spenders(spark, sf_dir):
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# scalar subquery
+# --------------------------------------------------------------------------
+
+@register(
+    "scalar_subquery_max_order",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 0.95 * (SELECT max(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery_max_order(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_totalprice").alias("m"))
+    return (
+        orders.join(F.broadcast(mx))
+        .filter(F.col("o_totalprice") > 0.95 * F.col("m"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# INTERSECT / UNION set ops
+# --------------------------------------------------------------------------
+
+@register(
+    "intersect_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def intersect_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "union_event_kinds",
+    """
+    SELECT user_id, 'click' AS kind FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id, 'view' AS kind FROM events WHERE event_type = 'view'
+    """,
+)
+def union_event_kinds(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.lit("click").alias("kind")
+    )
+    b = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.lit("view").alias("kind")
+    )
+    return a.unionByName(b).distinct()
+
+
+# --------------------------------------------------------------------------
+# exact quantiles per group
+# --------------------------------------------------------------------------
+
+@register(
+    "value_quantiles_by_type",
+    """
+    SELECT event_type,
+           round(CAST(median(CAST(value AS DOUBLE)) AS DOUBLE), 6) AS median_value,
+           round(CAST(min(value) AS DOUBLE), 6) AS min_value,
+           round(CAST(max(value) AS DOUBLE), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def value_quantiles_by_type(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.median(F.col("value").cast("double")), 6)
+            .cast("double").alias("median_value"),
+            F.round(F.min("value").cast("double"), 6).alias("min_value"),
+            F.round(F.max("value").cast("double"), 6).alias("max_value"),
+        )
+    )

@@ -37,9 +37,9 @@ def _norm_cell(v):
 
 def _norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(_norm_cell(r[i]) for i in idx) for r in rows
-    )
+    normed = [tuple(_norm_cell(r[i]) for i in idx) for r in rows]
+    # repr-keyed sort: None-tolerant, deterministic, equal rows sort equal
+    return sorted(normed, key=repr)
 
 
 def compare(spark_df, con, sql: str) -> tuple[bool, str]:
