@@ -1,0 +1,87 @@
+"""spark-submit entry point (BASELINE.json north_rule: "launched via
+spark-submit --py-files").
+
+Usage (local or cluster — master comes from spark-submit / env):
+
+    spark-submit --py-files dist/engine.zip \\
+        -m distributed_system___ocr_spark.cli \\
+        --input  /path/to/pages_parquet \\
+        --output /path/to/out_dir \\
+        --run-id run-2026-08-16-a \\
+        [--partitions 4096] [--report report.html] [--synthetic N]
+
+Replaces the reference's ``java -jar localApplication.jar input output
+n [terminate]`` CLI (LocalApplication.java:54-65): `n` (tasks per
+worker) disappears — partitioning replaces fleet sizing — and
+`terminate` disappears — there is no long-lived manager to kill.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dsocr-extract",
+        description="PySpark main-content extraction pipeline",
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="pages parquet path/table dir")
+    src.add_argument(
+        "--synthetic", type=int, metavar="N",
+        help="generate an N-doc deterministic corpus instead of reading",
+    )
+    p.add_argument("--output", required=True, help="output/checkpoint dir")
+    p.add_argument("--run-id", required=True, help="unique id for this run")
+    p.add_argument(
+        "--partitions", type=int, default=None,
+        help="force a salted repartition to this many partitions "
+        "(default: reuse scan/dedup partitioning)",
+    )
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--report", help="also render the HTML report here")
+    p.add_argument("--no-manifest", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from .corpus import pages_df
+    from .pipeline import run_pipeline
+    from .session import get_spark
+
+    spark = get_spark(f"dsocr-{args.run_id}")
+    t0 = time.monotonic()
+    if args.synthetic:
+        pages = pages_df(spark, args.synthetic, seed=args.seed)
+    else:
+        pages = spark.read.parquet(args.input)
+    info = run_pipeline(
+        spark,
+        pages,
+        args.output,
+        run_id=args.run_id,
+        num_partitions=args.partitions,
+        write_manifest=not args.no_manifest,
+    )
+    info["wall_sec"] = round(time.monotonic() - t0, 3)
+
+    if args.report:
+        from .pipeline import read_extracted
+        from .report import write_report
+
+        manifest = spark.read.parquet(info["manifest_path"])
+        write_report(manifest, read_extracted(spark, args.output), args.report)
+        info["report_path"] = args.report
+
+    print(json.dumps(info))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
