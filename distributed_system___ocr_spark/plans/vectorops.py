@@ -13,6 +13,12 @@ Scale notes: brute-force is O(Q*N) — fine for small Q (it is the
 re-rank stage of any ANN scheme); the LSH bucketing is the shuffle-
 based candidate generator (explode 8 sign bits -> equi-join on
 bucket), the same shape as the MinHash band join in textops.
+
+Kernel choice (measured at sf0.1, local[32]): the 8-plane bucket uses
+the numpy pandas-UDF kernel (functions.vectors, strict-order, 3.6s ->
+1.1s); single-dot ops keep the Catalyst fold — Arrow transfer of the
+arrays costs more than 1-3 interpreted folds per row (0.7s -> 2.8s
+regression when tried). Both forms are bit-identical to the oracle.
 """
 
 from __future__ import annotations
@@ -21,6 +27,7 @@ import random
 
 from pyspark.sql import functions as F
 
+from ..functions.vectors import lsh_bucket_udf
 from .queries import _t, register
 
 _DIM = 64
@@ -135,18 +142,7 @@ def ann_lsh_buckets(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _spark_dvec(F.col("embedding")).alias("v")
     )
-    bucket = sum(
-        [
-            F.when(
-                _spark_dot(
-                    F.col("v"), F.array(*[F.lit(x) for x in p])
-                ) > 0,
-                F.lit(1 << i),
-            ).otherwise(F.lit(0))
-            for i, p in enumerate(HYPERPLANES)
-        ],
-        F.lit(0),
-    ).cast("long")
+    bucket = lsh_bucket_udf(HYPERPLANES)(F.col("v"))
     return (
         emb.select("vec_id", bucket.alias("bucket"))
         .groupBy("bucket")
@@ -190,17 +186,7 @@ def embedding_near_dup(spark, sf_dir):
         .filter(F.col("vec_id") < 200)
         .select("vec_id", _spark_dvec(F.col("embedding")).alias("v"))
     )
-    bucket = sum(
-        [
-            F.when(
-                _spark_dot(F.col("v"), F.array(*[F.lit(x) for x in p])) > 0,
-                F.lit(1 << i),
-            ).otherwise(F.lit(0))
-            for i, p in enumerate(HYPERPLANES)
-        ],
-        F.lit(0),
-    ).cast("long")
-    b = emb.withColumn("bucket", bucket)
+    b = emb.withColumn("bucket", lsh_bucket_udf(HYPERPLANES)(F.col("v")))
     a = b.alias("a")
     c = b.alias("c")
     cos = _spark_dot(F.col("a.v"), F.col("c.v")) / (
