@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from html import unescape
 from html.parser import HTMLParser
 
 # Subtrees that never contain main content: pruned wholesale
@@ -153,6 +154,74 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
+# ---------------------------------------------------------------------------
+# fast tokenizer: one compiled regex instead of html.parser's per-tag
+# state machine (~3x; profiled — parser.goahead was 85% of extract time).
+# Feeds the same handler methods as HTMLParser would, with the same
+# observable behavior for our handler: lowercased tag names, entities
+# decoded in text (convert_charrefs), raw-text elements (script/style/
+# textarea/title) delivered as one undecoded data chunk.
+# ---------------------------------------------------------------------------
+
+_RAWTEXT = {"script", "style", "textarea", "title"}
+_TOKEN_RE = re.compile(
+    r"""<(?:
+        !--.*?(?:-->|$)                                   # comment
+      | !\[CDATA\[.*?(?:\]\]>|$)                          # cdata
+      | [!?][^>]*>?                                       # doctype / pi
+      | (?P<close>/)?(?P<name>[a-zA-Z][a-zA-Z0-9:._-]*)   # tag name
+        (?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)>?          # attrs (quote-aware)
+    )""",
+    re.DOTALL | re.VERBOSE,
+)
+
+
+def _scan(html: str, handler: "_BlockParser") -> None:
+    pos, n = 0, len(html)
+    find = html.find
+    match = _TOKEN_RE.match
+    data = handler.handle_data
+    starttag = handler.handle_starttag
+    endtag = handler.handle_endtag
+    while pos < n:
+        lt = find("<", pos)
+        if lt == -1:
+            text = html[pos:]
+            data(unescape(text) if "&" in text else text)
+            break
+        if lt > pos:
+            text = html[pos:lt]
+            data(unescape(text) if "&" in text else text)
+        m = match(html, lt)
+        if m is None:  # bare '<' that opens no construct: literal text
+            data("<")
+            pos = lt + 1
+            continue
+        pos = m.end()
+        close, name, attrs = m.group("close", "name", "attrs")
+        if not name:  # comment/doctype/cdata/pi: no event
+            continue
+        name = name.lower()
+        if close:
+            endtag(name)
+        elif attrs and attrs.rstrip().endswith("/"):
+            # html.parser fires handle_startendtag for self-closed tags;
+            # our handler only needs the br/hr flush it implies
+            handler.handle_startendtag(name, ())
+        else:
+            starttag(name, ())
+            if name in _RAWTEXT:
+                # CDATA content mode: no entity decoding, no nested tags
+                end = find(f"</{name}", pos)
+                if end == -1:
+                    data(html[pos:])
+                    break
+                data(html[pos:end])
+                gt = find(">", end)
+                endtag(name)
+                pos = n if gt == -1 else gt + 1
+
+
 def decode_payload(payload: bytes) -> str:
     """Deterministic charset handling: utf-8 strict, else the charset
     declared in the first 2 KiB, else utf-8 with replacement."""
@@ -180,8 +249,8 @@ def extract_html(payload: bytes) -> tuple[str, list[tuple[int, int, str]]]:
     """
     html = decode_payload(payload)
     parser = _BlockParser()
-    parser.feed(html)
-    parser.close()
+    _scan(html, parser)
+    parser._flush()
 
     out_parts: list[str] = []
     spans: list[tuple[int, int, str]] = []
