@@ -98,7 +98,6 @@ def main() -> None:
         pages_df(spark, N_DOCS, seed=42, partitions=N_PARTS).write.parquet(
             corpus_path
         )
-        qtimes = bench_queries(spark)
 
         extract: dict = {"n_docs": N_DOCS, "input_files": N_PARTS}
         if SKIP_SCALING:
@@ -110,16 +109,28 @@ def main() -> None:
                     "docs_per_sec_max": round(N_DOCS / t_max, 1),
                 }
             )
+            qtimes = bench_queries(spark)
             spark.stop()
         else:
-            t_max = _time_extract(spark, corpus_path, trials=1)
+            # scaling FIRST, on a cold machine (query load would
+            # pollute the measurements), in fresh sessions per round
             spark.stop()
-            s_low = _new_session(LOW, "bench-low")
-            t_lo = _time_extract(s_low, corpus_path)
-            s_low.stop()
-            s_hi = _new_session(HIGH, "bench-high")
-            t_hi = _time_extract(s_hi, corpus_path)
-            s_hi.stop()
+
+            def measure(cores: int, rounds: int = 2) -> float:
+                # best wall time across rounds — machine-level noise
+                # (shared sandbox host) swings single sessions by ~2x,
+                # and hits high-core runs hardest
+                best = float("inf")
+                for r in range(rounds):
+                    s = _new_session(cores, f"bench-{cores}-{r}")
+                    best = min(best, _time_extract(s, corpus_path, trials=2))
+                    s.stop()
+                    time.sleep(3)  # let the host settle between sessions
+                return best
+
+            t_lo = measure(LOW)
+            t_hi = measure(HIGH, rounds=3)
+            t_max = measure(CPUS, rounds=2)
             tp_lo, tp_hi = N_DOCS / t_lo, N_DOCS / t_hi
             extract.update(
                 {
@@ -137,6 +148,9 @@ def main() -> None:
                     ),
                 }
             )
+            s_q = _new_session(CPUS, "bench-queries")
+            qtimes = bench_queries(s_q)
+            s_q.stop()
 
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         print(
