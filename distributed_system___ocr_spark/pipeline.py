@@ -112,12 +112,25 @@ def run_pipeline(
     }
 
 
-def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_extracted(
+    spark: SparkSession, out_dir: str, snapshot: int | None = None
+) -> DataFrame:
     """All committed extracted rows (snapshot-scoped, like an Iceberg
-    table read — uncommitted run dirs are never visible)."""
+    table read — uncommitted run dirs are never visible).
+
+    ``snapshot=n`` time-travels to an earlier commit: the read sees
+    exactly the runs listed by snapshot-n.json (snapshots are
+    immutable; the data files they reference are never rewritten)."""
+    import json as _json
+
     from .operators.resume import load_snapshot
 
-    snap = load_snapshot(out_dir)
+    if snapshot is None:
+        snap = load_snapshot(out_dir)
+    else:
+        path = os.path.join(out_dir, "_checkpoint", f"snapshot-{snapshot}.json")
+        with open(path) as f:
+            snap = _json.load(f)
     if not snap or not snap["runs"]:
         raise FileNotFoundError(f"no committed snapshot under {out_dir}")
     base = os.path.join(out_dir, "extracted")

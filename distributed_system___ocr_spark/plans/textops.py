@@ -434,3 +434,78 @@ def doc_fingerprint(spark, sf_dir):
     return d.select(
         "doc_id", fp.alias("fingerprint"), bucket.alias("fp_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (rolling-hash document fingerprinting)
+# --------------------------------------------------------------------------
+# Schleimer/Wilkerson/Aiken winnowing (public algorithm): hash every
+# k-gram, keep the MINIMUM hash in each sliding window of w consecutive
+# k-grams; the selected set is a position-robust fingerprint. One
+# window pass per doc = one shuffle on doc_id; fingerprint count per
+# doc ~ n/w regardless of doc length distribution.
+
+_WINNOW_W = 4  # window of 4 consecutive trigram hashes
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, g['pos'] AS pos,
+             ('0x' || substring(md5(g['sh']), 1, 8))::BIGINT AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len({_DUCK_TRIGRAMS})),
+                 i -> {{'pos': i, 'sh': ({_DUCK_TRIGRAMS})[i]}})) AS g
+        FROM documents
+      )
+    ),
+    winmin AS (
+      SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN {_WINNOW_W - 1} PRECEDING
+                          AND CURRENT ROW) AS fp
+      FROM grams
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM winmin WHERE pos >= {_WINNOW_W}
+    )
+    SELECT doc_id,
+           count(*) AS n_fingerprints,
+           CAST(min(fp) AS BIGINT) AS min_fp,
+           CAST(max(fp) AS BIGINT) AS max_fp
+    FROM fps GROUP BY doc_id
+    """,
+)
+def winnowing_fingerprints(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPARK_TRIGRAMS).alias("shingles")
+    )
+    grams = docs.select(
+        "doc_id", F.posexplode("shingles").alias("pos0", "sh")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 8), 16, 10)
+        .cast("long").alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WINNOW_W - 1), 0)
+    )
+    fps = (
+        grams.withColumn("fp", F.min("h").over(w))
+        .filter(F.col("pos") >= _WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.min("fp").cast("long").alias("min_fp"),
+        F.max("fp").cast("long").alias("max_fp"),
+    )

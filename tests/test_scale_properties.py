@@ -1,0 +1,97 @@
+"""Scale-behavior evidence: salted partitioning balance under host
+skew, snapshot time travel, bloom-prefiltered resume path."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from distributed_system___ocr_spark.functions.bloom import (
+    build_bloom,
+    with_bloom_flag,
+)
+from distributed_system___ocr_spark.operators.partitioning import (
+    salted_repartition,
+)
+from distributed_system___ocr_spark.operators.resume import pending
+from distributed_system___ocr_spark.pipeline import read_extracted, run_pipeline
+
+
+def _skewed_pages(spark, n=4000):
+    """60% of rows on one hot host (the skew the north_rule names)."""
+    ts = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n):
+        host = "hot.example.com" if i % 10 < 6 else f"h{i % 37}.example.com"
+        rows.append(
+            {
+                "url": f"https://{host}/p{i}",
+                "warc_ts": ts,
+                "html": b"<p>x</p>",
+                "text": "",
+                "lang": "en",
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows)).repartition(
+        2, F.substring_index(F.substring_index("url", "/", 3), "/", -1)
+    )  # pathological input partitioning: by host
+
+
+def test_salted_repartition_balances_host_skew(spark):
+    df = _skewed_pages(spark)
+    before = (
+        df.withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert before >= 2400  # hot host concentrated in one partition
+
+    after_counts = [
+        r["count"]
+        for r in salted_repartition(df, "url", 16)
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .count()
+        .collect()
+    ]
+    assert len(after_counts) == 16
+    avg = sum(after_counts) / len(after_counts)
+    assert max(after_counts) < 1.5 * avg, after_counts
+
+
+def test_snapshot_time_travel(spark, pages, tmp_path):
+    out = str(tmp_path / "out")
+    run_pipeline(spark, pages.limit(200), out, run_id="t1", num_partitions=4)
+    n_snap0 = read_extracted(spark, out).count()
+    run_pipeline(spark, pages, out, run_id="t2", num_partitions=4)
+    n_latest = read_extracted(spark, out).count()
+    assert n_latest > n_snap0
+    # time travel back to snapshot 0
+    assert read_extracted(spark, out, snapshot=0).count() == n_snap0
+    assert read_extracted(spark, out, snapshot=1).count() == n_latest
+
+
+def test_bloom_prefilter_path_equals_exact(spark, pages):
+    """pending() with the bloom path (threshold forced to 0) returns
+    exactly the anti-join result: false positives fall through, false
+    negatives impossible."""
+    done = pages.select("url").distinct().limit(150)
+    exact = {
+        r["url"]
+        for r in pages.join(done, "url", "left_anti").select("url").collect()
+    }
+    got = {
+        r["url"]
+        for r in pending(pages, done.withColumnRenamed("url", "url"),
+                         bloom_threshold=0).select("url").collect()
+    }
+    assert got == exact
+
+
+def test_bloom_no_false_negatives(spark, pages):
+    urls = pages.select("url").distinct()
+    n = urls.count()
+    bloom = build_bloom(urls, "url", expected=n, fpp=0.01)
+    flagged = with_bloom_flag(urls, "url", bloom)
+    assert flagged.filter(~F.col("_in_bloom")).count() == 0
