@@ -54,6 +54,70 @@ def decode_media(payload: bytes, real: bool = False) -> dict:
     return _fake_decode(payload)
 
 
+FRAME_SAMPLE_SCHEMA = (
+    "media_id bigint, n_frames int, sampled_frames array<int>, "
+    "resized_w int, resized_h int, status string"
+)
+
+
+def frame_sample_stage(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    every_k: int = 2,
+    target_w: int = 224,
+) -> DataFrame:
+    """Frame-sample + resize plumbing for video-like payloads.
+
+    The Spark side (Arrow batching, schema, array output column) is
+    real; the decode is the deterministic stub (decode_media). Sampled
+    frame indices = every k-th frame; resize preserves aspect to
+    target_w. Swapping in ffmpeg/PIL changes only decode_media."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out_rows = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                meta = decode_media(b)
+                if meta["status"] != "ok_stub":
+                    out_rows.append(
+                        {
+                            "media_id": mid, "n_frames": None,
+                            "sampled_frames": None, "resized_w": None,
+                            "resized_h": None, "status": meta["status"],
+                        }
+                    )
+                    continue
+                n = meta["n_frames"]
+                w, h = meta["width"], meta["height"]
+                out_rows.append(
+                    {
+                        "media_id": mid,
+                        "n_frames": n,
+                        "sampled_frames": list(range(0, n, every_k)),
+                        "resized_w": target_w,
+                        # integer arithmetic (floor), not float round:
+                        # banker's-vs-half-away rounding differs across
+                        # engines and this must be SQL-reproducible
+                        "resized_h": max(1, (h * target_w) // w),
+                        "status": "ok_stub",
+                    }
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "media_id", "n_frames", "sampled_frames",
+                    "resized_w", "resized_h", "status",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, FRAME_SAMPLE_SCHEMA
+    )
+
+
 def media_meta_stage(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     """(id, binary payload) -> typed metadata rows, Arrow-batched.
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import media_meta_stage
+from ..operators.multimodal import frame_sample_stage, media_meta_stage
 from .queries import _t, register
 
 
@@ -33,3 +33,31 @@ def multimodal_media_meta(spark, sf_dir):
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return media_meta_stage(docs, "doc_id", "payload")
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH meta AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n,
+             64 + (octet_length(encode(text)) % 512) AS w,
+             64 + ((octet_length(encode(text)) // 7) % 512) AS h,
+             1 + (octet_length(encode(text)) % 4) AS n_frames
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(n_frames AS INT) AS n_frames,
+           [CAST(x AS INT) for x in generate_series(0, n_frames - 1)
+            if x % 2 = 0] AS sampled_frames,
+           CAST(224 AS INT) AS resized_w,
+           CAST(greatest(1, (h * 224) // w) AS INT) AS resized_h,
+           'ok_stub' AS status
+    FROM meta
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return frame_sample_stage(docs, "doc_id", "payload")

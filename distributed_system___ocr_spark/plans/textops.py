@@ -509,3 +509,43 @@ def winnowing_fingerprints(spark, sf_dir):
         F.min("fp").cast("long").alias("min_fp"),
         F.max("fp").cast("long").alias("max_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish regex token counting (task list: "token counting (whitespace
+# + a BPE-ish regex)") — word/number/punctuation segmentation, the
+# pre-tokenization split used by byte-pair encoders
+# --------------------------------------------------------------------------
+
+_TOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "token_stats_regex",
+    f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{_TOKEN_REGEX}'))
+                AS BIGINT) AS n_bpe_tokens,
+           round(CAST(length(text) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(lower(text),
+                                                   '{_TOKEN_REGEX}')), 1), 6)
+             AS chars_per_token
+    FROM documents
+    """,
+)
+def token_stats_regex(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = F.size(F.expr(_SPARK_TOKENS)).cast("long")
+    bpe = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_REGEX), 0)
+    ).cast("long")
+    cpt = F.round(
+        F.length("text").cast("double") / F.greatest(bpe, F.lit(1)), 6
+    )
+    return d.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        cpt.alias("chars_per_token"),
+    )

@@ -228,3 +228,71 @@ def embedding_norms(spark, sf_dir):
         "vec_id", "label",
         F.round(F.sqrt(_spark_dot(v, v)), 6).alias("l2_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed top-k ANN: the complete approximate path — candidates
+# restricted to the query's bucket, then exact cosine re-rank. Recall
+# is traded for touching |bucket| << N candidates; the brute-force
+# query above is the recall ceiling.
+# --------------------------------------------------------------------------
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH dv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, CAST({_DUCK_BUCKET} AS BIGINT) AS bucket FROM dv),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM b q JOIN b c
+        ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id IN {_QUERY_IDS}
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim, rnk FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      FROM pairs
+    ) WHERE rnk <= {_TOP_K}
+    """,
+)
+def ann_lsh_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _spark_dvec(F.col("embedding")).alias("v")
+    )
+    b = emb.withColumn("bucket", lsh_bucket_udf(HYPERPLANES)(F.col("v")))
+    q = b.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("bucket").alias("cb"),
+    )
+    cos = _spark_dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_spark_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_spark_dot(F.col("cv"), F.col("cv")))
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("cb") == F.col("qb"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select("query_id", "neighbor_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"), "rnk",
+        )
+    )
