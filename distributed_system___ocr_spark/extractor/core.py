@@ -23,6 +23,12 @@ STATUS_OK = "ok"
 STATUS_OK_PDF = "ok_pdf"
 STATUS_EMPTY = "empty"
 STATUS_ERROR = "error"
+STATUS_TOO_LARGE = "too_large"
+
+# Payloads above this become error-channel rows instead of being
+# parsed: one pathological page must not blow an Arrow batch / worker
+# heap (Common Crawl itself truncates at 1 MiB; we allow 8x that).
+MAX_PAYLOAD_BYTES = 8 * 1024 * 1024
 
 
 @dataclass(frozen=True)
@@ -37,6 +43,11 @@ def extract_payload(payload: bytes | None) -> ExtractResult:
     """bytes -> ExtractResult; total function, never raises."""
     if payload is None or len(payload) == 0:
         return ExtractResult("", [], STATUS_EMPTY, None)
+    if len(payload) > MAX_PAYLOAD_BYTES:
+        return ExtractResult(
+            "", [], STATUS_TOO_LARGE,
+            f"payload {len(payload)} bytes > cap {MAX_PAYLOAD_BYTES}",
+        )
     try:
         if payload[:5] == b"%PDF-":
             text, spans = extract_pdf(payload)

@@ -34,7 +34,9 @@ def lineage_from_extracted(extracted: DataFrame, run_id: str) -> DataFrame:
             F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
             F.sum((F.col("status") == "ok_pdf").cast("long")).alias("n_pdf"),
             F.sum((F.col("status") == "empty").cast("long")).alias("n_empty"),
-            F.sum((F.col("status") == "error").cast("long")).alias("n_failed"),
+            F.sum(
+                F.col("status").isin("error", "too_large").cast("long")
+            ).alias("n_failed"),
             F.max("elapsed_ms").alias("wall_ms"),
             F.sum("n_chars").cast("long").alias("bytes_text"),
         )

@@ -140,6 +140,18 @@ def test_empty_inputs():
     assert extract_payload(None).status == STATUS_EMPTY
 
 
+def test_oversized_payload_is_error_row():
+    from distributed_system___ocr_spark.extractor.core import (
+        MAX_PAYLOAD_BYTES,
+        STATUS_TOO_LARGE,
+    )
+
+    res = extract_payload(b"x" * (MAX_PAYLOAD_BYTES + 1))
+    assert res.status == STATUS_TOO_LARGE
+    assert res.text == ""
+    assert "cap" in res.error
+
+
 @pytest.mark.parametrize("i", [0, 3, 17, 99])
 def test_determinism_per_doc(i):
     payload = page_row(i)["html"]

@@ -14,7 +14,7 @@ from distributed_system___ocr_spark.extractor.html_extract import extract_html
 @given(st.binary(max_size=4096))
 def test_total_function_on_arbitrary_bytes(payload):
     res = extract_payload(payload)
-    assert res.status in ("ok", "ok_pdf", "empty", "error")
+    assert res.status in ("ok", "ok_pdf", "empty", "error", "too_large")
     assert isinstance(res.text, str)
     for start, end, kind in res.spans:
         assert 0 <= start < end <= len(res.text)
