@@ -1,0 +1,65 @@
+"""WARC source: roundtrip through the reader into the pipeline."""
+
+from __future__ import annotations
+
+from distributed_system___ocr_spark.corpus import page_row
+from distributed_system___ocr_spark.pipeline import run_pipeline
+from distributed_system___ocr_spark.sources.warc import (
+    parse_warc_records,
+    read_warc,
+    write_warc,
+)
+
+
+def _fixture_records(n, seed=42):
+    for i in range(n):
+        row = page_row(i, seed)
+        yield row["url"], row["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"), row[
+            "html"
+        ]
+
+
+def test_parse_roundtrip_plain_and_gzip(tmp_path):
+    recs = list(_fixture_records(20))
+    for gz, name in ((False, "a.warc"), (True, "b.warc.gz")):
+        p = str(tmp_path / name)
+        write_warc(p, recs, gzip_members=gz)
+        with open(p, "rb") as f:
+            parsed = list(parse_warc_records(f.read()))
+        assert len(parsed) == 20
+        assert [u for u, _, _ in parsed] == [u for u, _, _ in recs]
+        # payload bytes identical after http-header strip
+        assert [b for _, _, b in parsed] == [b for _, _, b in recs]
+
+
+def test_read_warc_into_pipeline(spark, tmp_path):
+    warc_dir = tmp_path / "warcs"
+    warc_dir.mkdir()
+    recs = list(_fixture_records(60))
+    for k in range(3):  # 3 files = 3 parallel units
+        write_warc(str(warc_dir / f"part-{k}.warc.gz"), recs[k * 20 : (k + 1) * 20])
+
+    pages = read_warc(spark, str(warc_dir / "*.warc.gz"))
+    assert pages.count() == 60
+    assert pages.schema.simpleString() == (
+        "struct<url:string,warc_ts:timestamp,html:binary,text:string,"
+        "lang:string>"
+    )
+
+    out = str(tmp_path / "out")
+    info = run_pipeline(spark, pages, out, run_id="w1", num_partitions=4)
+    n_urls = pages.select("url").distinct().count()
+    assert info["n_extracted_this_run"] == n_urls
+
+
+def test_non_response_records_skipped(tmp_path):
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 5\r\n\r\n"
+        b"hello\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x/1\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 4\r\n\r\n"
+        b"body\r\n\r\n"
+    )
+    parsed = list(parse_warc_records(raw))
+    assert parsed == [("http://x/1", "2024-01-01T00:00:00Z", b"body")]
