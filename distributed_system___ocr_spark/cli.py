@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="pages parquet path/table dir")
     src.add_argument(
+        "--input-warc", metavar="GLOB",
+        help="read Common-Crawl-native .warc/.warc.gz files",
+    )
+    src.add_argument(
         "--synthetic", type=int, metavar="N",
         help="generate an N-doc deterministic corpus instead of reading",
     )
@@ -58,6 +62,10 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.monotonic()
     if args.synthetic:
         pages = pages_df(spark, args.synthetic, seed=args.seed)
+    elif args.input_warc:
+        from .sources.warc import read_warc
+
+        pages = read_warc(spark, args.input_warc)
     else:
         pages = spark.read.parquet(args.input)
     info = run_pipeline(
