@@ -59,7 +59,8 @@ class _Block:
     link_chars: int = 0
 
     def text(self) -> str:
-        return _WS_RE.sub(" ", "".join(self.parts)).strip()
+        # equivalent to regex \s+ collapse + strip, ~2x faster
+        return " ".join("".join(self.parts).split())
 
     def link_density(self) -> float:
         return self.link_chars / self.total_chars if self.total_chars else 0.0
