@@ -36,8 +36,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
 # cluster executors are separate machines). See BENCH/BASELINE.md.
 LOW = int(os.environ.get("BENCH_CORES_LOW", max(2, CPUS // 8)))
 HIGH = int(os.environ.get("BENCH_CORES_HIGH", max(4, CPUS // 2)))
-N_DOCS = int(os.environ.get("BENCH_N_DOCS", 100_000))
-N_PARTS = int(os.environ.get("BENCH_PARTITIONS", 128))
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", 200_000))
+N_PARTS = int(os.environ.get("BENCH_PARTITIONS", 192))
 SKIP_SCALING = os.environ.get("BENCH_SKIP_SCALING", "") == "1"
 
 
@@ -128,7 +128,7 @@ def main() -> None:
                     time.sleep(3)  # let the host settle between sessions
                 return best
 
-            t_lo = measure(LOW)
+            t_lo = measure(LOW, rounds=3)
             t_hi = measure(HIGH, rounds=3)
             t_max = measure(CPUS, rounds=2)
             tp_lo, tp_hi = N_DOCS / t_lo, N_DOCS / t_hi
