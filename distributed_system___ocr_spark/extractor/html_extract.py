@@ -226,6 +226,8 @@ def _scan(html: str, handler: "_BlockParser") -> None:
 def decode_payload(payload: bytes) -> str:
     """Deterministic charset handling: utf-8 strict, else the charset
     declared in the first 2 KiB, else utf-8 with replacement."""
+    if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return payload.decode("utf-16", errors="replace")
     try:
         return payload.decode("utf-8")
     except UnicodeDecodeError:

@@ -17,8 +17,10 @@ import re
 import zlib
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
-# (string) Tj | (string) '   — single text-show ops
-_TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')")
+# (string) Tj | (string) ' | (string) "  — single text-show ops
+_TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|'|\")")
+# <hexdigits> Tj — hex-string text-show
+_TJHEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>\s*(?:Tj|'|\")")
 # [ ... ] TJ — array text-show (strings interleaved with kern numbers)
 _TJARR_RE = re.compile(rb"\[((?:[^\[\]\\]|\\.)*)\]\s*TJ", re.DOTALL)
 _STR_IN_ARR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
@@ -65,6 +67,14 @@ def _text_ops(content: bytes) -> list[str]:
         parts: list[bytes] = []
         for m in _TJ_RE.finditer(block):
             parts.append(_unescape(m.group(1)))
+        for m in _TJHEX_RE.finditer(block):
+            hx = re.sub(rb"\s", b"", m.group(1))
+            if len(hx) % 2:  # odd digit count: spec pads with 0
+                hx += b"0"
+            try:
+                parts.append(bytes.fromhex(hx.decode("ascii")))
+            except ValueError:
+                continue
         for m in _TJARR_RE.finditer(block):
             arr = b"".join(
                 _unescape(s) for s in _STR_IN_ARR_RE.findall(m.group(1))

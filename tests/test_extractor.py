@@ -160,3 +160,21 @@ def test_determinism_per_doc(i):
     assert a.text == b.text
     assert a.spans == b.spans
     assert a.status == b.status
+
+
+def test_pdf_hex_strings_and_quote_ops():
+    text, _ = extract_pdf(
+        b"%PDF-1.4\nstream\nBT <48656c6c6f> Tj ET\n"
+        b"BT (world) \" ET\nendstream\n"
+    )
+    assert "Hello" in text
+    assert "world" in text
+
+
+def test_utf16_bom_payload():
+    payload = "<p>utf sixteen content long enough to keep here ok</p>".encode(
+        "utf-16"
+    )
+    res = extract_payload(payload)
+    assert res.status == STATUS_OK
+    assert "utf sixteen content" in res.text
