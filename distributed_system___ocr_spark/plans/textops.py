@@ -169,9 +169,7 @@ _DUCK_BANDS = ", ".join(
 )
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
+_MINHASH_PAIRS_SQL = f"""
     WITH tri AS (
       SELECT doc_id, unnest(list_distinct({_DUCK_TRIGRAMS})) AS sh
       FROM documents WHERE doc_id < {_PAIR_LIMIT}
@@ -196,8 +194,10 @@ _DUCK_BANDS = ", ".join(
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val
      AND a.doc_id < b.doc_id
-    """,
-)
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_PAIRS_SQL)
 def dedup_minhash_lsh(spark, sf_dir):
     tri = (
         _t(spark, sf_dir, "documents")
@@ -548,4 +548,52 @@ def token_stats_regex(spark, sf_dir):
         ws.alias("n_ws_tokens"),
         bpe.alias("n_bpe_tokens"),
         cpt.alias("chars_per_token"),
+    )
+
+
+# --------------------------------------------------------------------------
+# duplicate CLUSTERS: connected components over MinHash candidate pairs
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+    edges AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach (s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    labels AS (
+      SELECT s AS doc_id, least(min(d), s) AS component
+      FROM reach GROUP BY s
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(l.component, d.doc_id) AS BIGINT) AS component
+    FROM (SELECT doc_id FROM documents WHERE doc_id < {_PAIR_LIMIT}) d
+    LEFT JOIN labels l ON l.doc_id = d.doc_id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """MinHash candidate pairs -> duplicate clusters (component = min
+    doc_id). Singleton docs are their own cluster."""
+    from ..operators.components import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    vertices = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PAIR_LIMIT)
+        .select("doc_id")
+    )
+    comp = connected_components(
+        vertices, pairs, vertex_col="doc_id", src="a_id", dst="b_id"
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
     )
