@@ -192,3 +192,72 @@ def value_quantiles_by_type(spark, sf_dir):
             F.round(F.max("value").cast("double"), 6).alias("max_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CUBE grouping
+# --------------------------------------------------------------------------
+
+@register(
+    "cube_lang_source",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+)
+def cube_lang_source(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .cube("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MERGE/upsert emulation (no Delta in this container: anti-join + union,
+# the standard CDC pattern; a real MERGE INTO slots in with Delta/Iceberg)
+# --------------------------------------------------------------------------
+
+@register(
+    "merge_upsert_events",
+    """
+    WITH target AS (
+      SELECT event_id, event_type, value FROM events WHERE event_id < 500
+    ),
+    source AS (
+      SELECT event_id, event_type,
+             CAST(value * 2 AS DOUBLE) AS value
+      FROM events WHERE event_id >= 400 AND event_id < 600
+    )
+    SELECT event_id, event_type, round(CAST(value AS DOUBLE), 6) AS value,
+           CASE WHEN event_id >= 400 THEN 'merged' ELSE 'kept' END AS op
+    FROM (
+      SELECT * FROM source
+      UNION ALL
+      SELECT t.* FROM target t
+      WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.event_id = t.event_id)
+    )
+    """,
+)
+def merge_upsert_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    target = ev.filter(F.col("event_id") < 500).select(
+        "event_id", "event_type", "value"
+    )
+    source = ev.filter(
+        (F.col("event_id") >= 400) & (F.col("event_id") < 600)
+    ).select(
+        "event_id", "event_type", (F.col("value") * 2).cast("double").alias("value")
+    )
+    kept = target.join(source.select("event_id"), "event_id", "left_anti")
+    merged = source.unionByName(kept)
+    return merged.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+        F.when(F.col("event_id") >= 400, "merged").otherwise("kept").alias("op"),
+    )
