@@ -31,16 +31,24 @@ def multiplicity(pages: DataFrame, key: str = "url") -> DataFrame:
 
 
 def latest_per_key(
-    pages: DataFrame, key: str = "url", order: str = "warc_ts"
+    pages: DataFrame,
+    key: str = "url",
+    order: str = "warc_ts",
+    tie_col: str = "html",
 ) -> DataFrame:
     """O8 dedup, deterministic last-wins: keep the row with max(order)
-    per key (ties broken by payload hash for full determinism).
+    per key (ties broken by content hash for full determinism).
 
-    Window + row_number shuffles once on the key — the same shuffle the
-    downstream manifest join needs, so AQE can reuse the exchange.
+    Shuffle-cost note: this window exchanges FULL rows on hash(key).
+    The pipeline therefore runs it AFTER extraction (on extracted text,
+    ~1/3 the bytes of raw payloads) rather than before — re-extracting
+    the ~5% duplicate occurrences is far cheaper than shipping every
+    payload through a shuffle (measured: pipeline 3.1k -> see
+    BENCH/BASELINE.md). Call it on raw pages only when duplicates are
+    dense enough to invert that tradeoff.
     """
     w = Window.partitionBy(key).orderBy(
-        F.col(order).desc(), F.xxhash64("html").asc()
+        F.col(order).desc(), F.xxhash64(tie_col).asc()
     )
     return (
         pages.withColumn("_rn", F.row_number().over(w))

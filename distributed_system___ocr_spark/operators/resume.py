@@ -64,16 +64,25 @@ def processed_urls(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return spark.read.parquet(*paths)
 
 
-def commit_run(spark: SparkSession, out_dir: str, run_id: str) -> dict:
+def commit_run(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    run_df: DataFrame | None = None,
+) -> dict:
     """Write this run's processed-url manifest from its *written*
     extracted data, then atomically publish a new snapshot. Single
-    writer assumed (documented; a real catalog provides CAS here)."""
+    writer assumed (documented; a real catalog provides CAS here).
+    Pass ``run_df`` (a cached read of the run dir) to avoid a second
+    scan of the just-written files."""
     ck = _ckpt(out_dir)
     os.makedirs(os.path.join(ck, "processed"), exist_ok=True)
     run_data = os.path.join(out_dir, "extracted", f"run_id={run_id}")
     proc_path = os.path.join(ck, "processed", f"{run_id}.parquet")
+    if run_df is None:
+        run_df = spark.read.parquet(run_data)
     (
-        spark.read.parquet(run_data)
+        run_df
         .select("url", F.sha2(F.col("text"), 256).alias("text_sha256"))
         .write.mode("overwrite")
         .parquet(proc_path)

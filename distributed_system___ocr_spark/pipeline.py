@@ -56,38 +56,48 @@ def run_pipeline(
         )
     pages = filter_nonblank(pages)
 
-    # O8 first: extract once per distinct url (latest crawl wins).
-    distinct_pages = latest_per_key(pages)
-
     # Resume: drop urls already committed by a prior snapshot.
-    todo = pending(distinct_pages, processed_urls(spark, out_dir))
+    todo = pending(pages, processed_urls(spark, out_dir))
 
-    # O3: uniform fan-out for the expensive stage. The dedup window
-    # above ALREADY exchanged rows on hash(url) — a uniform key — so by
-    # default the extract stage reuses that partitioning and pays no
-    # second shuffle of the payload bytes (at 10^12 docs the payload
-    # re-shuffle would be the single largest cost in the job). An
-    # explicit num_partitions forces a fresh salted exchange (used when
-    # the caller must match a parallelism level, e.g. bench runs).
+    # O3: uniform fan-out for the expensive stage. File scans are
+    # already byte-uniform (maxPartitionBytes), so by default the
+    # payload bytes NEVER cross a shuffle — at 10^12 docs a payload
+    # shuffle would be the single largest cost in the job. An explicit
+    # num_partitions forces a salted exchange (skewed/non-file sources,
+    # or when the caller must match a parallelism level in benches).
     if num_partitions is not None:
         todo = salted_repartition(todo, "url", num_partitions)
 
-    # O4/O5/O6 + O11: extract and commit this run's data files.
+    # O4/O5/O6: extract EVERY occurrence (scan-partitioned), then O8:
+    # dedup last-wins on the extracted rows — text is ~1/3 the bytes of
+    # raw payloads, so the dedup window's shuffle moves far less than a
+    # pre-extraction dedup would, for ~5% redundant extraction work
+    # (measured 3.1k -> 8k+ docs/s end-to-end; BENCH/BASELINE.md).
+    extracted = latest_per_key(
+        extract_stage(todo), order="warc_ts", tie_col="text"
+    )
+
+    # O11: commit this run's data files.
     extracted_dir = os.path.join(out_dir, "extracted")
     run_dir = os.path.join(extracted_dir, f"run_id={run_id}")
-    extract_stage(todo).write.mode("overwrite").parquet(run_dir)
+    extracted.write.mode("overwrite").parquet(run_dir)
 
-    # Atomic snapshot publish (exactly-once boundary).
-    snap = commit_run(spark, out_dir, run_id)
+    # One cached read-back serves the processed-url manifest, lineage,
+    # and the count (never re-runs extraction).
+    run_extracted = spark.read.parquet(run_dir).persist()
+    try:
+        # Atomic snapshot publish (exactly-once boundary).
+        snap = commit_run(spark, out_dir, run_id, run_df=run_extracted)
 
-    # O17: lineage from the written files (no re-extraction).
-    run_extracted = spark.read.parquet(run_dir)
-    lineage_dir = os.path.join(out_dir, "lineage", f"run_id={run_id}")
-    lineage_from_extracted(run_extracted, run_id).write.mode(
-        "overwrite"
-    ).parquet(lineage_dir)
+        # O17: lineage from the written files.
+        lineage_dir = os.path.join(out_dir, "lineage", f"run_id={run_id}")
+        lineage_from_extracted(run_extracted, run_id).write.mode(
+            "overwrite"
+        ).parquet(lineage_dir)
 
-    n_extracted = run_extracted.count()
+        n_extracted = run_extracted.count()
+    finally:
+        run_extracted.unpersist()
 
     # O7/O10: manifest over the FULL input vs ALL committed runs.
     manifest_path = None

@@ -63,3 +63,17 @@ def test_non_response_records_skipped(tmp_path):
     )
     parsed = list(parse_warc_records(raw))
     assert parsed == [("http://x/1", "2024-01-01T00:00:00Z", b"body")]
+
+
+def test_warc_parser_total_on_garbage():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=2048))
+    def check(raw):
+        for url, date, body in parse_warc_records(raw):
+            assert isinstance(url, str)
+            assert isinstance(body, bytes)
+
+    check()
