@@ -112,3 +112,60 @@ def extract_foreach_batch(
     finally:
         q.stop()
     return results
+
+
+def stateful_user_counts_stream(
+    spark: SparkSession, events_path: str, table_name: str = "stream_user_counts"
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + last-seen timestamp carried in GroupState
+    across micro-batches (the streaming form of the manager's per-app
+    counter maps, Manager.java:50-60 — but fault-tolerant state instead
+    of heap maps)."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(events_path).schema
+    if os.path.isfile(events_path):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(events_path))
+            .parquet(os.path.dirname(events_path))
+        )
+    else:
+        stream = spark.readStream.schema(schema).parquet(events_path)
+
+    def update(key, pdfs, state: GroupState):
+        n, last_ts = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            mx = pdf["ts"].max()
+            last_ts = mx if last_ts is None else max(last_ts, mx)
+        state.update((n, last_ts))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "last_ts": [last_ts]}
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, last_ts timestamp",
+        stateStructType="n long, last_ts timestamp",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    for q in spark.streams.active:
+        if q.name == table_name:
+            q.stop()
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(table_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(table_name)

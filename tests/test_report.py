@@ -104,3 +104,49 @@ def test_streaming_windowed_equals_batch(spark):
          for r in stream_res.select("window_start", "event_type", "n").collect()}
     b = {(r["window_start"], r["event_type"], r["n"]) for r in batch.collect()}
     assert a == b
+
+
+def test_stateful_stream_counts_match_batch(spark):
+    from distributed_system___ocr_spark.streaming.stream import (
+        stateful_user_counts_stream,
+    )
+
+    res = stateful_user_counts_stream(
+        spark, "/root/testdata/sf0.001/events.parquet", "suc_test"
+    )
+    # update mode may emit one row per user per batch: take the final
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in res.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    batch = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == batch
+
+
+def test_native_session_window_agrees_with_manual(spark):
+    """Spark's session_window must agree with the manual lag/cumsum
+    sessionization (the oracle-checked sessionize_events query)."""
+    from distributed_system___ocr_spark.plans import REGISTRY
+
+    manual = {
+        (r["user_id"], r["n_sessions"])
+        for r in REGISTRY["sessionize_events"]["builder"](
+            spark, "/root/testdata/sf0.001"
+        ).select("user_id", "n_sessions").collect()
+    }
+    native = {
+        (r["user_id"], r["n"])
+        for r in spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert native == manual
