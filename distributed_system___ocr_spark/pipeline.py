@@ -1,14 +1,22 @@
 """End-to-end extraction pipeline (SURVEY.md §3.2 Spark equivalent).
 
-    pages --filter(O2)--> distinct-latest(O8) --anti-join resume-->
-    salted repartition(O3) --> mapInPandas extract (O4/O5/O6) -->
-    write extracted(O11) --> commit snapshot --> manifest(O7/O10) +
-    lineage(O17)
+    pages --filter(O2)--> anti-join resume --> [salted repartition(O3)
+    if forced] --> mapInPandas extract (O4/O5/O6) --> last-wins dedup
+    on extracted text (O8) --> write extracted(O11) --> commit snapshot
+    --> lineage(O17) + manifest(O7/O10)
 
-One shuffle feeds the extract stage (the salted repartition); the
-dedup window and manifest aggregation each shuffle on url. Everything
-else is narrow. At scale the extract stage dominates; its input
-partitioning is explicitly uniform (see operators.partitioning).
+Shuffle budget: ZERO shuffles of raw payload bytes on the default path
+(file scans are byte-uniform; the only exchanges carry extracted text
+for the dedup window and tiny key/count rows for resume + manifest).
+At scale the extract stage dominates and its input partitioning comes
+straight from the scan splits.
+
+Cross-run semantics: within a run, last-wins dedup by (warc_ts,
+xxhash64(text)); across runs, the FIRST committed extraction of a url
+wins — a later re-crawl of an already-processed url is dropped by the
+resume anti-join, mirroring the reference's one-result-per-distinct-url
+contract (Manager.java:218-219). Re-extract a re-crawl by starting a
+fresh out_dir (or a compaction run over the manifest).
 """
 
 from __future__ import annotations
