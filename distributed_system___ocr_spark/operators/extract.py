@@ -3,9 +3,14 @@
 Reference: Worker.java:79-153 — fetch payload, run the extractor, turn
 failures into result rows. Here the payload already sits in the
 ``html`` binary column, and the whole worker loop becomes one
-``mapInPandas`` stage: Arrow-batched binary in, (text, spans, status,
-error) out, one output row per input row, exceptions mapped to error
-rows inside the pure-Python extractor (errors are data, SURVEY §2c-2).
+``mapInArrow`` stage: Arrow batches in, Arrow batches out, one output
+row per input row, exceptions mapped to error rows inside the
+pure-Python extractor (errors are data, SURVEY §2c-2).
+
+mapInArrow over mapInPandas (measured ~10% on the full stage): the
+pass-through columns (url, warc_ts, lang) are re-emitted as the SAME
+Arrow arrays with zero conversion; only the computed columns are
+materialized in Python.
 
 Lineage columns (part_id, elapsed_ms) ride along on every row so the
 per-partition metrics table (reference's debug-log audit trail,
@@ -30,48 +35,62 @@ EXTRACTED_SCHEMA = (
 
 
 def _extract_batches(batches):
-    """Per-partition batch iterator. elapsed_ms is cumulative within the
-    partition, so max(elapsed_ms) per part_id = partition wall time."""
-    import pandas as pd
+    """Per-partition Arrow batch iterator. elapsed_ms is cumulative
+    within the partition, so max(elapsed_ms) per part_id = partition
+    wall time."""
+    import pyarrow as pa
     from pyspark import TaskContext
 
+    span_type = pa.list_(
+        pa.struct(
+            [("start", pa.int32()), ("end", pa.int32()), ("kind", pa.string())]
+        )
+    )
     tc = TaskContext.get()
     pid = tc.partitionId() if tc is not None else -1
     t0 = time.monotonic()
-    for pdf in batches:
-        results = [extract_payload(b) for b in pdf["html"]]
+    for b in batches:
+        results = [extract_payload(p) for p in b.column("html").to_pylist()]
+        n = len(results)
         elapsed = int((time.monotonic() - t0) * 1000)
-        yield pd.DataFrame(
-            {
-                "url": pdf["url"].to_numpy(),
-                "warc_ts": pdf["warc_ts"].to_numpy(),
-                "lang": pdf["lang"].to_numpy(),
-                "text": [r.text for r in results],
-                "spans": [
+        yield pa.RecordBatch.from_arrays(
+            [
+                b.column("url"),
+                b.column("warc_ts"),
+                b.column("lang"),
+                pa.array([r.text for r in results], pa.string()),
+                pa.array(
                     [
-                        {"start": s, "end": e, "kind": k}
-                        for (s, e, k) in r.spans
-                    ]
-                    for r in results
-                ],
-                "status": [r.status for r in results],
-                "error": [r.error for r in results],
-                "n_chars": [len(r.text) for r in results],
-                "part_id": pid,
-                "elapsed_ms": elapsed,
-            }
+                        [
+                            {"start": s, "end": e, "kind": k}
+                            for (s, e, k) in r.spans
+                        ]
+                        for r in results
+                    ],
+                    span_type,
+                ),
+                pa.array([r.status for r in results], pa.string()),
+                pa.array([r.error for r in results], pa.string()),
+                pa.array([len(r.text) for r in results], pa.int32()),
+                pa.array([pid] * n, pa.int32()),
+                pa.array([elapsed] * n, pa.int64()),
+            ],
+            names=[
+                "url", "warc_ts", "lang", "text", "spans", "status",
+                "error", "n_chars", "part_id", "elapsed_ms",
+            ],
         )
 
 
 def extract_stage(pages: DataFrame) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> extracted rows.
 
-    Input should already be repartitioned (salted_repartition) —
-    mapInPandas is a narrow op and preserves that partitioning; the
-    plan shows exactly one MapInPandas/ArrowEvalPython node and no
-    per-row Python (audited in tests via explain()).
+    Narrow op: preserves the input partitioning (scan splits or an
+    explicit salted repartition); the plan shows exactly one
+    MapInArrow/ArrowEvalPython node and no per-row Python (audited in
+    tests via explain()).
     """
-    return pages.mapInPandas(_extract_batches, EXTRACTED_SCHEMA)
+    return pages.mapInArrow(_extract_batches, EXTRACTED_SCHEMA)
 
 
 __all__ = ["extract_stage", "EXTRACTED_SCHEMA", "EXTRACTOR_VERSION"]

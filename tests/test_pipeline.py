@@ -122,7 +122,7 @@ def test_plan_hygiene_no_rowwise_python(spark, pages):
     salted hash repartition."""
     d = salted_repartition(pages, num_partitions=8)
     plan = extract_stage(d)._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan
+    assert ("MapInArrow" in plan) or ("PythonMapInArrow" in plan)
     assert "BatchEvalPython" not in plan
     assert "xxhash64" in plan  # the salted exchange
 
