@@ -144,11 +144,18 @@ class _BlockParser(HTMLParser):
     def handle_data(self, data):
         if self._skip_depth or not data:
             return
-        self._cur.parts.append(data)
+        cur = self._cur
+        if data.isspace():
+            # whitespace-only: counts nothing; skippable entirely at
+            # block start (leading ws is stripped by text() anyway)
+            if cur.parts:
+                cur.parts.append(data)
+            return
+        cur.parts.append(data)
         n = len(data.strip())
-        self._cur.total_chars += n
+        cur.total_chars += n
         if self._link_depth:
-            self._cur.link_chars += n
+            cur.link_chars += n
 
     def close(self):
         super().close()
