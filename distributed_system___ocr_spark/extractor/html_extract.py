@@ -16,9 +16,7 @@ on a real cluster without touching the pipeline.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
 from html import unescape
-from html.parser import HTMLParser
 
 # Subtrees that never contain main content: pruned wholesale
 # (tag-blocklist pruning per BASELINE.json north_star).
@@ -51,124 +49,23 @@ _CHARSET_RE = re.compile(
 )
 
 
-@dataclass
-class _Block:
-    kind: str = "p"
-    parts: list = field(default_factory=list)
-    total_chars: int = 0
-    link_chars: int = 0
-
-    def text(self) -> str:
-        # equivalent to regex \s+ collapse + strip, ~2x faster
-        return " ".join("".join(self.parts).split())
-
-    def link_density(self) -> float:
-        return self.link_chars / self.total_chars if self.total_chars else 0.0
-
-
-class _BlockParser(HTMLParser):
-    """Segment an HTML document into flat text blocks.
-
-    convert_charrefs=True (default) folds entities into handle_data,
-    so entity decoding needs no span bookkeeping of its own.
-    """
-
-    def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
-        self.blocks: list[_Block] = []
-        self._cur = _Block()
-        self._skip_depth = 0
-        self._link_depth = 0
-        self._kind_stack: list[str] = []
-
-    # -- block lifecycle ------------------------------------------------
-    def _flush(self) -> None:
-        if self._cur.parts:
-            self.blocks.append(self._cur)
-        kind = self._kind_stack[-1] if self._kind_stack else "p"
-        self._cur = _Block(kind=kind)
-
-    @staticmethod
-    def _kind_of(tag: str) -> str:
-        if tag in _HEADINGS:
-            return "heading"
-        if tag in ("li", "dd", "dt"):
-            return "li"
-        if tag == "pre":
-            return "pre"
-        if tag == "blockquote":
-            return "blockquote"
-        if tag in ("td", "th", "tr", "table"):
-            return "cell"
-        return "p"
-
-    # -- HTMLParser hooks -------------------------------------------------
-    def handle_starttag(self, tag, attrs):
-        if tag in _SKIP_SUBTREE:
-            self._skip_depth += 1
-            return
-        if self._skip_depth:
-            return
-        if tag == "a":
-            self._link_depth += 1
-            return
-        if tag in _BLOCK_TAGS:
-            self._flush()
-            if tag not in ("br", "hr"):
-                self._kind_stack.append(self._kind_of(tag))
-                self._cur.kind = self._kind_stack[-1]
-
-    def handle_startendtag(self, tag, attrs):
-        if self._skip_depth:
-            return
-        if tag in ("br", "hr"):
-            self._flush()
-
-    def handle_endtag(self, tag):
-        if tag in _SKIP_SUBTREE:
-            if self._skip_depth:
-                self._skip_depth -= 1
-            return
-        if self._skip_depth:
-            return
-        if tag == "a":
-            if self._link_depth:
-                self._link_depth -= 1
-            return
-        if tag in _BLOCK_TAGS and tag not in ("br", "hr"):
-            self._flush()
-            if self._kind_stack:
-                self._kind_stack.pop()
-            self._cur.kind = self._kind_stack[-1] if self._kind_stack else "p"
-
-    def handle_data(self, data):
-        if self._skip_depth or not data:
-            return
-        cur = self._cur
-        if data.isspace():
-            # whitespace-only: counts nothing; skippable entirely at
-            # block start (leading ws is stripped by text() anyway)
-            if cur.parts:
-                cur.parts.append(data)
-            return
-        cur.parts.append(data)
-        n = len(data.strip())
-        cur.total_chars += n
-        if self._link_depth:
-            cur.link_chars += n
-
-    def close(self):
-        super().close()
-        self._flush()
-
+_KIND_OF = {
+    "h1": "heading", "h2": "heading", "h3": "heading", "h4": "heading",
+    "h5": "heading", "h6": "heading",
+    "li": "li", "dd": "li", "dt": "li",
+    "pre": "pre", "blockquote": "blockquote",
+    "td": "cell", "th": "cell", "tr": "cell", "table": "cell",
+}
 
 # ---------------------------------------------------------------------------
-# fast tokenizer: one compiled regex instead of html.parser's per-tag
-# state machine (~3x; profiled — parser.goahead was 85% of extract time).
-# Feeds the same handler methods as HTMLParser would, with the same
-# observable behavior for our handler: lowercased tag names, entities
-# decoded in text (convert_charrefs), raw-text elements (script/style/
-# textarea/title) delivered as one undecoded data chunk.
+# integrated scanner: one compiled regex + inlined block segmentation.
+# (History: html.parser state machine -> regex tokenizer feeding
+# HTMLParser-style handlers (~2x) -> handlers inlined into the scan
+# loop (this form, ~25% more). Semantics are pinned byte-identical by
+# tests/golden_corpus_sha256.json at every step.)
+# Behavior mirrors html.parser for our purposes: lowercased tag names,
+# entities decoded in text (convert_charrefs), raw-text elements
+# (script/style/textarea/title) delivered as one undecoded chunk.
 # ---------------------------------------------------------------------------
 
 _RAWTEXT = {"script", "style", "textarea", "title"}
@@ -184,25 +81,50 @@ _TOKEN_RE = re.compile(
 )
 
 
-def _scan(html: str, handler: "_BlockParser") -> None:
+def _segment(html: str) -> list:
+    """One pass over the document -> [(kind, text_parts, total_chars,
+    link_chars)] flat block list."""
+    blocks: list = []
+    parts: list = []
+    total = 0
+    link = 0
+    kind = "p"
+    kind_stack: list = []
+    skip_depth = 0
+    link_depth = 0
     pos, n = 0, len(html)
     find = html.find
     match = _TOKEN_RE.match
-    data = handler.handle_data
-    starttag = handler.handle_starttag
-    endtag = handler.handle_endtag
+    kind_of = _KIND_OF.get
+
     while pos < n:
         lt = find("<", pos)
         if lt == -1:
             text = html[pos:]
-            data(unescape(text) if "&" in text else text)
+            pos = n
+        else:
+            text = html[pos:lt] if lt > pos else None
+        if text and not skip_depth:
+            if "&" in text:
+                text = unescape(text)
+            if text.isspace():
+                if parts:
+                    parts.append(text)
+            else:
+                parts.append(text)
+                c = len(text.strip())
+                total += c
+                if link_depth:
+                    link += c
+        if lt == -1:
             break
-        if lt > pos:
-            text = html[pos:lt]
-            data(unescape(text) if "&" in text else text)
         m = match(html, lt)
         if m is None:  # bare '<' that opens no construct: literal text
-            data("<")
+            if not skip_depth:
+                parts.append("<")
+                total += 1
+                if link_depth:
+                    link += 1
             pos = lt + 1
             continue
         pos = m.end()
@@ -211,23 +133,73 @@ def _scan(html: str, handler: "_BlockParser") -> None:
             continue
         name = name.lower()
         if close:
-            endtag(name)
+            if name in _SKIP_SUBTREE:
+                if skip_depth:
+                    skip_depth -= 1
+            elif skip_depth:
+                pass
+            elif name == "a":
+                if link_depth:
+                    link_depth -= 1
+            elif name in _BLOCK_TAGS and name != "br" and name != "hr":
+                if parts:
+                    blocks.append((kind, parts, total, link))
+                if kind_stack:
+                    kind_stack.pop()
+                kind = kind_stack[-1] if kind_stack else "p"
+                parts = []
+                total = 0
+                link = 0
         elif attrs and attrs.rstrip().endswith("/"):
-            # html.parser fires handle_startendtag for self-closed tags;
-            # our handler only needs the br/hr flush it implies
-            handler.handle_startendtag(name, ())
+            # self-closed: only br/hr matter (block flush)
+            if not skip_depth and (name == "br" or name == "hr"):
+                if parts:
+                    blocks.append((kind, parts, total, link))
+                parts = []
+                total = 0
+                link = 0
         else:
-            starttag(name, ())
+            if name in _SKIP_SUBTREE:
+                skip_depth += 1
+            elif skip_depth:
+                pass
+            elif name == "a":
+                link_depth += 1
+            elif name in _BLOCK_TAGS:
+                if parts:
+                    blocks.append((kind, parts, total, link))
+                parts = []
+                total = 0
+                link = 0
+                if name != "br" and name != "hr":
+                    kind = kind_of(name, "p")
+                    kind_stack.append(kind)
             if name in _RAWTEXT:
                 # CDATA content mode: no entity decoding, no nested tags
                 end = find(f"</{name}", pos)
                 if end == -1:
-                    data(html[pos:])
-                    break
-                data(html[pos:end])
-                gt = find(">", end)
-                endtag(name)
-                pos = n if gt == -1 else gt + 1
+                    raw = html[pos:]
+                    pos = n
+                else:
+                    raw = html[pos:end]
+                if raw and not skip_depth and not raw.isspace():
+                    parts.append(raw)
+                    c = len(raw.strip())
+                    total += c
+                    if link_depth:
+                        link += c
+                elif raw and not skip_depth and parts:
+                    parts.append(raw)
+                if end != -1:
+                    gt = find(">", end)
+                    # rawtext close tag: mirror the endtag branch above
+                    if name in _SKIP_SUBTREE:
+                        if skip_depth:
+                            skip_depth -= 1
+                    pos = n if gt == -1 else gt + 1
+    if parts:
+        blocks.append((kind, parts, total, link))
+    return blocks
 
 
 def decode_payload(payload: bytes) -> str:
@@ -258,19 +230,16 @@ def extract_html(payload: bytes) -> tuple[str, list[tuple[int, int, str]]]:
     results, not exceptions).
     """
     html = decode_payload(payload)
-    parser = _BlockParser()
-    _scan(html, parser)
-    parser._flush()
-
     out_parts: list[str] = []
     spans: list[tuple[int, int, str]] = []
     pos = 0
-    for blk in parser.blocks:
-        text = blk.text()
+    for kind, parts, total, link in _segment(html):
+        # whitespace collapse + strip (same as regex \s+ sub + strip)
+        text = " ".join("".join(parts).split())
         if not text:
             continue
-        ld = blk.link_density()
-        if blk.kind == "heading":
+        ld = link / total if total else 0.0
+        if kind == "heading":
             if ld > MAX_HEADING_LINK_DENSITY:
                 continue
         else:
@@ -279,6 +248,6 @@ def extract_html(payload: bytes) -> tuple[str, list[tuple[int, int, str]]]:
         if out_parts:
             pos += 2  # the "\n\n" separator
         out_parts.append(text)
-        spans.append((pos, pos + len(text), blk.kind))
+        spans.append((pos, pos + len(text), kind))
         pos += len(text)
     return "\n\n".join(out_parts), spans

@@ -261,3 +261,33 @@ def merge_upsert_events(spark, sf_dir):
         F.round(F.col("value").cast("double"), 6).alias("value"),
         F.when(F.col("event_id") >= 400, "merged").otherwise("kept").alias("op"),
     )
+
+
+# --------------------------------------------------------------------------
+# unpivot (stack): wide metrics -> long form
+# --------------------------------------------------------------------------
+
+@register(
+    "unpivot_doc_metrics",
+    """
+    SELECT doc_id, 'n_chars' AS metric, CAST(n_chars AS BIGINT) AS value
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'n_tokens' AS metric,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS value
+    FROM documents
+    """,
+)
+def unpivot_doc_metrics(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "cast(n_chars as long) as n_chars",
+        "cast(size(filter(split(text, ' '), x -> x <> '')) as long)"
+        " as n_tokens",
+    )
+    return d.selectExpr(
+        "doc_id",
+        "stack(2, 'n_chars', n_chars, 'n_tokens', n_tokens)"
+        " as (metric, value)",
+    )
