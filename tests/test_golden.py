@@ -51,3 +51,37 @@ def test_pure_python_agrees_with_spark_stage():
         res = extract_payload(row["html"])
         g = golden["urls"][row["url"]]
         assert hashlib.sha256(res.text.encode()).hexdigest() == g["sha256"]
+
+
+GOLDEN_5K_DIGEST = (
+    "bcb3862e21578568ea76b2ff819afa48aba1b4f0ee539a36c10e75f86be5cc76"
+)
+GOLDEN_5K_URLS = 4764
+
+
+def test_5k_corpus_aggregate_digest():
+    """Aggregate sha256 over 5k docs' (url, extracted text) pairs —
+    the large golden corpus pinned as a single digest (FIXTURES.md §1).
+    Pure-Python (no Spark) so it runs in ~2s; any extractor or corpus
+    change that alters ANY byte of ANY document fails here."""
+    import hashlib
+
+    from distributed_system___ocr_spark.corpus import page_row
+    from distributed_system___ocr_spark.extractor import extract_payload
+    from distributed_system___ocr_spark.extractor.core import (
+        EXTRACTOR_VERSION,
+    )
+
+    assert EXTRACTOR_VERSION == "1"
+    h = hashlib.sha256()
+    seen = {}
+    for i in range(5000):
+        row = page_row(i, 42)
+        seen[row["url"]] = extract_payload(row["html"]).text
+    assert len(seen) == GOLDEN_5K_URLS
+    for url in sorted(seen):
+        h.update(url.encode())
+        h.update(b"\0")
+        h.update(seen[url].encode())
+        h.update(b"\1")
+    assert h.hexdigest() == GOLDEN_5K_DIGEST
