@@ -150,3 +150,29 @@ def test_native_session_window_agrees_with_manual(spark):
         .collect()
     }
     assert native == manual
+
+
+def test_golden_report_artifact_reproducible(spark, tmp_path):
+    """outputs/golden_report_100docs.html (the repo's analogue of the
+    reference's outputs/short_output.html golden) must be exactly
+    reproducible from seed 42."""
+    import os
+
+    from distributed_system___ocr_spark.corpus import pages_df
+    from distributed_system___ocr_spark.pipeline import (
+        read_extracted,
+        run_pipeline,
+    )
+    from distributed_system___ocr_spark.report import render_report
+
+    out = str(tmp_path / "out")
+    pages = pages_df(spark, 100, seed=42)
+    info = run_pipeline(spark, pages, out, run_id="golden")
+    manifest = spark.read.parquet(info["manifest_path"])
+    html = render_report(manifest, read_extracted(spark, out))
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "..", "outputs",
+        "golden_report_100docs.html",
+    )
+    with open(golden_path, encoding="utf-8") as f:
+        assert html == f.read()
