@@ -115,6 +115,11 @@ def pending(
     positives) pay it. At 10^12 docs with a mostly-complete prior run,
     that converts the anti-join from full-input-shuffle to
     tiny-remnant-shuffle.
+
+    Known cost: the two branches each re-scan ``pages`` (the probe is
+    a cheap numpy UDF; payloads are NOT shuffled either way). Caching
+    the flagged frame would materialize payload bytes — worse than the
+    second scan at any scale.
     """
     if processed is None:
         return pages
