@@ -291,3 +291,55 @@ def unpivot_doc_metrics(spark, sf_dir):
         "stack(2, 'n_chars', n_chars, 'n_tokens', n_tokens)"
         " as (metric, value)",
     )
+
+
+# --------------------------------------------------------------------------
+# JSON scalar functions (props column is a JSON string)
+# --------------------------------------------------------------------------
+
+@register(
+    "json_props_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CAST(json_extract_string(props, '$.missing') IS NULL AS BOOLEAN)
+             AS missing_is_null,
+           count(*) OVER (PARTITION BY CAST(json_extract_string(props, '$.k')
+                                            AS BIGINT) % 10) AS k_bucket_n
+    FROM events
+    """,
+)
+def json_props_extract(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    missing = F.get_json_object("props", "$.missing").isNull()
+    w = Window.partitionBy(k % 10)
+    return ev.select(
+        "event_id",
+        k.alias("k_value"),
+        missing.alias("missing_is_null"),
+        F.count("*").over(w).alias("k_bucket_n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# explicit GROUPING SETS (beyond rollup/cube)
+# --------------------------------------------------------------------------
+
+@register(
+    "grouping_sets_events",
+    """
+    SELECT event_type, user_id % 3 AS ubucket, count(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 3), ())
+    """,
+)
+def grouping_sets_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ubucket", F.col("user_id") % 3
+    )
+    return ev.groupingSets(
+        [["event_type"], ["ubucket"], []], "event_type", "ubucket"
+    ).agg(F.count("*").alias("n"))

@@ -296,3 +296,37 @@ def ann_lsh_topk(spark, sf_dir):
             F.round("cos", 6).alias("cos_sim"), "rnk",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# array function surface (sort/slice/element access over embeddings)
+# --------------------------------------------------------------------------
+
+@register(
+    "array_functions_showcase",
+    """
+    WITH dv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           CAST(len(v) AS INT) AS dim,
+           round(v[1], 6) AS first_elem,
+           round(v[len(v)], 6) AS last_elem,
+           round(list_sort(v)[1], 6) AS min_elem,
+           round(list_sort(v)[len(v)], 6) AS max_elem,
+           round(list_sort(v)[2], 6) AS second_smallest
+    FROM dv
+    """,
+)
+def array_functions_showcase(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _spark_dvec(F.col("embedding")).alias("v")
+    )
+    sorted_v = F.sort_array("v")
+    return emb.select(
+        "vec_id",
+        F.size("v").alias("dim"),
+        F.round(F.element_at("v", 1), 6).alias("first_elem"),
+        F.round(F.element_at("v", -1), 6).alias("last_elem"),
+        F.round(F.element_at(sorted_v, 1), 6).alias("min_elem"),
+        F.round(F.element_at(sorted_v, -1), 6).alias("max_elem"),
+        F.round(F.element_at(sorted_v, 2), 6).alias("second_smallest"),
+    )
