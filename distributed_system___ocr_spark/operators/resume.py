@@ -133,3 +133,51 @@ def pending(
     candidates = flagged.filter(F.col("_in_bloom")).drop("_in_bloom")
     remnant = candidates.join(keys, "url", "left_anti")
     return definitely_new.unionByName(remnant)
+
+
+def compact(
+    spark: SparkSession,
+    out_dir: str,
+    target_partitions: int | None = None,
+) -> dict:
+    """Iceberg-style rewrite: merge all committed run dirs into one
+    compacted run and publish a snapshot that references only it.
+
+    Many incremental resume runs leave many small run dirs (the
+    small-files problem — at 10^12 docs the metadata and open-cost of
+    thousands of tiny runs dominates scan planning). Compaction
+    rewrites data files; it never mutates old ones, so time travel to
+    pre-compaction snapshots keeps working.
+    """
+    snap = load_snapshot(out_dir)
+    if not snap or not snap["runs"]:
+        raise FileNotFoundError(f"nothing to compact under {out_dir}")
+    base = os.path.join(out_dir, "extracted")
+    all_runs = spark.read.option("basePath", base).parquet(
+        *[os.path.join(base, f"run_id={r}") for r in snap["runs"]]
+    ).drop("run_id")
+    n = snap["n"] + 1
+    new_run = f"compacted-{n}"
+    dest = os.path.join(base, f"run_id={new_run}")
+    if target_partitions:
+        all_runs = all_runs.coalesce(target_partitions)
+    all_runs.write.mode("overwrite").parquet(dest)
+
+    ck = _ckpt(out_dir)
+    os.makedirs(os.path.join(ck, "processed"), exist_ok=True)
+    proc_path = os.path.join(ck, "processed", f"{new_run}.parquet")
+    (
+        spark.read.parquet(dest)
+        .select("url", F.sha2(F.col("text"), 256).alias("text_sha256"))
+        .write.mode("overwrite")
+        .parquet(proc_path)
+    )
+    new_snap = {"n": n, "runs": [new_run]}
+    name = f"snapshot-{n}.json"
+    with open(os.path.join(ck, name), "w") as f:
+        json.dump(new_snap, f)
+    fd, tmp = tempfile.mkstemp(dir=ck)
+    with os.fdopen(fd, "w") as f:
+        f.write(name)
+    os.replace(tmp, os.path.join(ck, "LATEST"))  # atomic flip
+    return new_snap

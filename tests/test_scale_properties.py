@@ -95,3 +95,28 @@ def test_bloom_no_false_negatives(spark, pages):
     bloom = build_bloom(urls, "url", expected=n, fpp=0.01)
     flagged = with_bloom_flag(urls, "url", bloom)
     assert flagged.filter(~F.col("_in_bloom")).count() == 0
+
+
+def test_compaction_preserves_data_and_time_travel(spark, pages, tmp_path):
+    from distributed_system___ocr_spark.operators.resume import compact
+
+    out = str(tmp_path / "out")
+    run_pipeline(spark, pages.limit(150), out, run_id="c1", num_partitions=4)
+    run_pipeline(spark, pages.limit(300), out, run_id="c2", num_partitions=4)
+    run_pipeline(spark, pages, out, run_id="c3", num_partitions=4)
+    before = {
+        (r["url"], r["text"])
+        for r in read_extracted(spark, out).select("url", "text").collect()
+    }
+    snap = compact(spark, out, target_partitions=2)
+    assert snap["runs"] == ["compacted-3"]
+    after = {
+        (r["url"], r["text"])
+        for r in read_extracted(spark, out).select("url", "text").collect()
+    }
+    assert after == before
+    # time travel to the pre-compaction snapshot still works
+    assert read_extracted(spark, out, snapshot=1).count() < len(before)
+    # resume over the compacted snapshot: nothing re-extracted
+    info = run_pipeline(spark, pages, out, run_id="c4", num_partitions=4)
+    assert info["n_extracted_this_run"] == 0
