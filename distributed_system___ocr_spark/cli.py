@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--synthetic", type=int, metavar="N",
         help="generate an N-doc deterministic corpus instead of reading",
     )
+    src.add_argument(
+        "--compact", action="store_true",
+        help="maintenance mode: rewrite all committed runs in --output "
+        "into one compacted snapshot (no input read)",
+    )
     p.add_argument("--output", required=True, help="output/checkpoint dir")
     p.add_argument("--run-id", required=True, help="unique id for this run")
     p.add_argument(
@@ -60,6 +65,14 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(f"dsocr-{args.run_id}")
     t0 = time.monotonic()
+    if args.compact:
+        from .operators.resume import compact
+
+        snap = compact(spark, args.output)
+        print(json.dumps({"compacted_snapshot": snap,
+                          "wall_sec": round(time.monotonic() - t0, 3)}))
+        spark.stop()
+        return 0
     if args.synthetic:
         pages = pages_df(spark, args.synthetic, seed=args.seed)
     elif args.input_warc:
