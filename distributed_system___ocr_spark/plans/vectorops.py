@@ -330,3 +330,106 @@ def array_functions_showcase(spark, sf_dir):
         F.round(F.element_at(sorted_v, -1), 6).alias("max_elem"),
         F.round(F.element_at(sorted_v, 2), 6).alias("second_smallest"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer (fixed seeded centroids) -> inverted
+# cells -> exact re-rank within the query's cell. Complements the LSH
+# variant; at scale the cell assignment is the partition key for the
+# vector table, so a query touches |N|/n_cells candidates. (A trained
+# k-means quantizer slots in by replacing the centroid literals; fixed
+# random centroids keep the oracle reproducible in SQL.)
+# --------------------------------------------------------------------------
+
+_N_CELLS = 16
+_ivf_rng = random.Random(11)
+IVF_CENTROIDS = [
+    [round(_ivf_rng.uniform(-0.3, 0.3), 6) for _ in range(_DIM)]
+    for _ in range(_N_CELLS)
+]
+
+# argmin over squared L2 distances, expanded as nested CASE comparisons
+# would be unwieldy; instead: compute all distances, take list argmin.
+_DUCK_DISTS = ", ".join(
+    "list_dot_product(v, v) - 2 * list_dot_product(v, "
+    + _duck_plane_literal(c) + ") + "
+    + repr(sum(x * x for x in c))
+    for c in IVF_CENTROIDS
+)
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH dv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assigned AS (
+      SELECT vec_id, v,
+             list_position(dists, list_min(dists)) AS cell
+      FROM (SELECT vec_id, v, [{_DUCK_DISTS}] AS dists FROM dv)
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM assigned q JOIN assigned c
+        ON q.cell = c.cell AND c.vec_id <> q.vec_id
+      WHERE q.vec_id IN {_QUERY_IDS}
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim, rnk FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      FROM pairs
+    ) WHERE rnk <= {_TOP_K}
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _spark_dvec(F.col("embedding")).alias("v")
+    )
+    # squared L2 to each centroid: |v|^2 - 2 v.c + |c|^2 (linear fold,
+    # identical to the oracle's expansion)
+    dists = F.array(
+        *[
+            _spark_dot(F.col("v"), F.col("v"))
+            - 2 * _spark_dot(F.col("v"), F.array(*[F.lit(x) for x in c]))
+            + F.lit(sum(x * x for x in c))
+            for c in IVF_CENTROIDS
+        ]
+    )
+    assigned = emb.withColumn("dists", dists).withColumn(
+        "cell", F.array_position(F.col("dists"), F.array_min("dists"))
+    ).drop("dists")
+    q = assigned.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("cell").alias("ccell"),
+    )
+    cos = _spark_dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_spark_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_spark_dot(F.col("cv"), F.col("cv")))
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("ccell") == F.col("qcell"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select("query_id", "neighbor_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"), "rnk",
+        )
+    )

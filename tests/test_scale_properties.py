@@ -120,3 +120,25 @@ def test_compaction_preserves_data_and_time_travel(spark, pages, tmp_path):
     # resume over the compacted snapshot: nothing re-extracted
     info = run_pipeline(spark, pages, out, run_id="c4", num_partitions=4)
     assert info["n_extracted_this_run"] == 0
+
+
+def test_partitioned_write_prunes_scan(spark, pages, tmp_path):
+    """extracted table partitioned by lang: a lang-filtered read shows
+    partition pruning (PartitionFilters) and touches only that
+    directory — the layout for downstream per-language consumers."""
+    from distributed_system___ocr_spark.operators.extract import extract_stage
+
+    out = str(tmp_path / "by_lang")
+    extract_stage(pages.limit(200)).write.partitionBy("lang").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("lang") == "en").select(
+        "url", "n_chars"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "isnotnull(lang" in plan or "lang" in plan.split("PartitionFilters")[1][:120]
+    import os
+
+    langs_on_disk = {
+        d.split("=")[1] for d in os.listdir(out) if d.startswith("lang=")
+    }
+    assert "en" in langs_on_disk and len(langs_on_disk) > 1
