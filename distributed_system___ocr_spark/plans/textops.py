@@ -597,3 +597,102 @@ def dedup_clusters(spark, sf_dir):
         F.col("id").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs at Hamming distance <= 1: each doc joins on
+# its own signature plus all 16 one-bit flips (the classic multi-probe
+# trick — Hamming-k neighbors found by equi-join, no pairwise scan)
+# --------------------------------------------------------------------------
+
+_DUCK_SIMHASH_PER_DOC = f"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKENS})) AS w
+      FROM documents WHERE doc_id < {_PAIR_LIMIT}
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(w), 1, 4))::INT AS h FROM words
+    ),
+    votes AS (
+      SELECT doc_id, {_DUCK_SIMHASH_VOTES} FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id, CAST({_DUCK_SIMHASH_VAL} AS BIGINT) AS simhash
+      FROM votes
+    )
+"""
+
+
+@register(
+    "dedup_simhash_hamming1",
+    _DUCK_SIMHASH_PER_DOC
+    + f"""
+    , probes AS (
+      SELECT doc_id, simhash,
+             unnest([simhash] ||
+                    [xor(simhash, CAST(1 << b AS BIGINT))
+                     for b in range(0, {_SIMHASH_BITS})]) AS probe
+      FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM probes a JOIN sigs b
+      ON a.probe = b.simhash AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_simhash_hamming1(spark, sf_dir):
+    words = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PAIR_LIMIT)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(_SPARK_TOKENS))).alias("w"),
+        )
+    )
+    hashed = words.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 4), 16, 10)
+        .cast("int"),
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    simhash = sum(
+        [
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(_SIMHASH_BITS)
+        ],
+        F.lit(0),
+    ).cast("long")
+    sigs = votes.select("doc_id", simhash.alias("simhash"))
+    probes = sigs.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.array(F.col("simhash")),
+                F.array(
+                    *[
+                        F.col("simhash").bitwiseXOR(F.lit(1 << b)).cast("long")
+                        for b in range(_SIMHASH_BITS)
+                    ]
+                ),
+            )
+        ).alias("probe"),
+    )
+    a = probes.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.probe") == F.col("b.simhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
