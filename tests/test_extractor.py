@@ -178,3 +178,12 @@ def test_utf16_bom_payload():
     res = extract_payload(payload)
     assert res.status == STATUS_OK
     assert "utf sixteen content" in res.text
+
+
+@pytest.mark.parametrize("i", range(0, 200, 7))
+def test_spans_reconstruct_text(i):
+    """Joining span slices with the block separator reproduces the
+    full extracted text — spans tile the output exactly."""
+    res = extract_payload(page_row(i)["html"])
+    rebuilt = "\n\n".join(res.text[s:e] for s, e, _ in res.spans)
+    assert rebuilt == res.text
