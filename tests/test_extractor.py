@@ -181,9 +181,16 @@ def test_utf16_bom_payload():
 
 
 @pytest.mark.parametrize("i", range(0, 200, 7))
-def test_spans_reconstruct_text(i):
-    """Joining span slices with the block separator reproduces the
-    full extracted text — spans tile the output exactly."""
+def test_spans_tile_text(i):
+    """Spans tile the extracted text exactly: first starts at 0, last
+    ends at len(text), and inter-span gaps are only newline separators
+    ("\\n\\n" for HTML blocks, "\\n" for PDF text objects)."""
     res = extract_payload(page_row(i)["html"])
-    rebuilt = "\n\n".join(res.text[s:e] for s, e, _ in res.spans)
-    assert rebuilt == res.text
+    if not res.spans:
+        assert res.text == ""
+        return
+    assert res.spans[0][0] == 0
+    assert res.spans[-1][1] == len(res.text)
+    for (s1, e1, _), (s2, e2, _) in zip(res.spans, res.spans[1:]):
+        gap = res.text[e1:s2]
+        assert gap in ("\n", "\n\n"), repr(gap)
