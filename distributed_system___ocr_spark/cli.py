@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="generate an N-doc deterministic corpus instead of reading",
     )
     src.add_argument(
+        "--input-urls", metavar="FILE",
+        help="reference-style newline-delimited url list; requires "
+        "--pages-table for the payloads",
+    )
+    src.add_argument(
         "--compact", action="store_true",
         help="maintenance mode: rewrite all committed runs in --output "
         "into one compacted snapshot (no input read)",
@@ -54,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--report", help="also render the HTML report here")
     p.add_argument("--no-manifest", action="store_true")
+    p.add_argument(
+        "--pages-table", metavar="PARQUET",
+        help="pages table supplying payloads for --input-urls",
+    )
     return p
 
 
@@ -79,6 +88,14 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.warc import read_warc
 
         pages = read_warc(spark, args.input_warc)
+    elif args.input_urls:
+        if not args.pages_table:
+            raise SystemExit("--input-urls requires --pages-table")
+        from .sources.urllist import pages_for_url_list
+
+        pages = pages_for_url_list(
+            spark, args.input_urls, spark.read.parquet(args.pages_table)
+        )
     else:
         pages = spark.read.parquet(args.input)
     info = run_pipeline(

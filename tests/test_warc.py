@@ -77,3 +77,39 @@ def test_warc_parser_total_on_garbage():
             assert isinstance(body, bytes)
 
     check()
+
+
+def test_url_list_source_multiplicity(spark, pages, tmp_path):
+    """Reference input-format parity: newline-delimited url list with
+    blanks and duplicates -> blank-dropped, dup-counted pages rows."""
+    from pyspark.sql import functions as F
+
+    from distributed_system___ocr_spark.operators.manifest import (
+        build_manifest,
+    )
+    from distributed_system___ocr_spark.operators.extract import extract_stage
+    from distributed_system___ocr_spark.operators.manifest import (
+        latest_per_key,
+    )
+    from distributed_system___ocr_spark.sources.urllist import (
+        pages_for_url_list,
+        read_url_list,
+    )
+
+    distinct = latest_per_key(pages)
+    urls = [r["url"] for r in distinct.select("url").limit(5).collect()]
+    lst = tmp_path / "urls.txt"
+    lst.write_text(
+        f"{urls[0]}\n\n{urls[1]}\n{urls[0]}\n  \n{urls[2]}\n{urls[0]}\n"
+    )
+    parsed = read_url_list(spark, str(lst))
+    assert parsed.count() == 5  # blanks dropped, dups kept
+
+    selected = pages_for_url_list(spark, str(lst), distinct)
+    assert selected.count() == 5
+    manifest = build_manifest(
+        selected, extract_stage(latest_per_key(selected))
+    )
+    by_url = {r["url"]: r["n_occurrences"] for r in manifest.collect()}
+    assert by_url[urls[0]] == 3  # multiplicity preserved (MGR:216)
+    assert by_url[urls[1]] == 1
