@@ -343,3 +343,72 @@ def grouping_sets_events(spark, sf_dir):
     return ev.groupingSets(
         [["event_type"], ["ubucket"], []], "event_type", "ubucket"
     ).agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# correlated subquery: orders above their customer's average
+# --------------------------------------------------------------------------
+
+@register(
+    "correlated_above_avg_orders",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(CAST(o_totalprice AS DOUBLE), 6) AS o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def correlated_above_avg_orders(spark, sf_dir):
+    """Catalyst decorrelates this into the window form below — the
+    DataFrame API expresses it directly as one shuffle on custkey."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double") / F.count("*").over(w)
+    )
+    return (
+        orders.withColumn("cust_avg", cust_avg)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey", "o_custkey",
+            F.round(F.col("o_totalprice").cast("double"), 6)
+            .alias("o_totalprice"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# null semantics: coalesce / nullif / null-safe equality
+# --------------------------------------------------------------------------
+
+@register(
+    "null_semantics_props",
+    """
+    SELECT event_id,
+           coalesce(json_extract_string(props, '$.missing'), 'absent')
+             AS with_default,
+           nullif(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)
+             AS k_nonzero,
+           (CAST(json_extract_string(props, '$.k') AS BIGINT)
+              IS NOT DISTINCT FROM 0) AS k_is_zero_nullsafe
+    FROM events
+    """,
+)
+def null_semantics_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.missing"), F.lit("absent")
+        ).alias("with_default"),
+        F.nullif(k, F.lit(0)).alias("k_nonzero"),
+        k.eqNullSafe(F.lit(0)).alias("k_is_zero_nullsafe"),
+    )
