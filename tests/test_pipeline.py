@@ -134,20 +134,35 @@ def test_error_rows_counted_complete(spark):
     import datetime as dt
 
     ts = dt.datetime(2024, 1, 1)
+    from distributed_system___ocr_spark.extractor.core import (
+        MAX_PAYLOAD_BYTES,
+    )
+
     pdf = pd.DataFrame(
         {
-            "url": [f"u{i}" for i in range(4)],
-            "warc_ts": [ts] * 4,
+            "url": [f"u{i}" for i in range(5)],
+            "warc_ts": [ts] * 5,
             "html": [b"<p>" + b"good content " * 5 + b"</p>",
-                     b"\xff\xfe garbage", b"", None],
-            "text": [""] * 4,
-            "lang": ["en"] * 4,
+                     b"\xff\xfe garbage", b"", None,
+                     b"x" * (MAX_PAYLOAD_BYTES + 1)],
+            "text": [""] * 5,
+            "lang": ["en"] * 5,
         }
     )
     df = spark.createDataFrame(pdf)
     res = extract_stage(df).collect()
-    assert len(res) == 4  # nothing dropped
+    assert len(res) == 5  # nothing dropped
     by_url = {r["url"]: r for r in res}
     assert by_url["u0"]["status"] == "ok"
     assert by_url["u2"]["status"] == "empty"
     assert by_url["u3"]["status"] == "empty"
+    assert by_url["u4"]["status"] == "too_large"
+
+    # too_large counts as failed in lineage (done/failed accounting)
+    from distributed_system___ocr_spark.operators.lineage import (
+        lineage_from_extracted,
+    )
+
+    lin = lineage_from_extracted(extract_stage(df), "t").agg(
+        F.sum("n_failed")).collect()[0][0]
+    assert lin == 1
