@@ -10,9 +10,10 @@ Parts:
    on local[$SPARK_GRAFT_CPUS] — per-query wall seconds (noop sink, so
    every column is computed; count() would let Catalyst prune work).
 2. extraction throughput on a deterministic generated pages corpus at
-   TWO parallelism levels (local[N/4] vs local[N]) over the SAME input
-   parquet with the SAME fixed partitioning — the sandbox evidence for
-   the north_rule's N->4N scaling-efficiency criterion
+   TWO parallelism levels (default local[4] vs local[16]: N and 4N,
+   both low enough that JVM + Python workers don't contend for the
+   same 32 hardware threads) over the SAME input parquet — the sandbox
+   evidence for the north_rule's N->4N scaling-efficiency criterion
    (BASELINE.md: efficiency = (docs_per_sec_high / docs_per_sec_low) / 4).
 """
 
