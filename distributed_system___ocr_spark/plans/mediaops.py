@@ -48,8 +48,9 @@ def multimodal_media_meta(spark, sf_dir):
     )
     SELECT media_id,
            CAST(n_frames AS INT) AS n_frames,
-           [CAST(x AS INT) for x in generate_series(0, n_frames - 1)
-            if x % 2 = 0] AS sampled_frames,
+           array_to_string([CAST(x AS INT) for x in
+                            generate_series(0, n_frames - 1)
+                            if x % 2 = 0], ',') AS sampled_frames,
            CAST(224 AS INT) AS resized_w,
            CAST(greatest(1, (h * 224) // w) AS INT) AS resized_h,
            'ok_stub' AS status
@@ -57,7 +58,15 @@ def multimodal_media_meta(spark, sf_dir):
     """,
 )
 def multimodal_frame_sample(spark, sf_dir):
+    # sampled_frames crosses the oracle boundary as a comma-joined
+    # string: the driver's canonicalizer sorts rows with pandas, which
+    # cannot hash list cells (round-1 CORRECTNESS err). The operator
+    # itself keeps the typed array<int> column.
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    return frame_sample_stage(docs, "doc_id", "payload")
+    out = frame_sample_stage(docs, "doc_id", "payload")
+    return out.withColumn(
+        "sampled_frames",
+        F.array_join(F.col("sampled_frames").cast("array<string>"), ","),
+    )

@@ -28,3 +28,18 @@ def test_query_matches_oracle(spark, con, name):
         pytest.skip("no SQL oracle (rows-only check)")
     ok, msg = compare(df, con, spec["sql"])
     assert ok, f"{name}: {msg}"
+
+
+def test_pair_producing_queries_are_nonempty(spark):
+    """A correctness gate that never fires is thin evidence (round-1
+    verdict on embedding_near_dup): the pair-producing dedup/near-dup
+    paths must return rows at test sf, so oracle equality actually
+    exercises the join + threshold logic."""
+    for name in (
+        "embedding_near_dup",
+        "dedup_trigram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash_hamming1",
+    ):
+        n = REGISTRY[name]["builder"](spark, SF_DIR).count()
+        assert n > 0, f"{name} produced 0 rows at {SF_DIR}"
