@@ -67,7 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.report and args.no_manifest:
+        # the report is rendered FROM the manifest; catching this after
+        # the pipeline already ran would waste the whole job
+        parser.error("--report requires the manifest; drop --no-manifest")
     from .corpus import pages_df
     from .pipeline import run_pipeline
     from .session import get_spark

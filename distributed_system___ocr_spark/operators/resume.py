@@ -50,6 +50,25 @@ def load_snapshot(out_dir: str) -> dict | None:
         return json.load(f)
 
 
+def all_committed_run_ids(out_dir: str) -> set[str]:
+    """Union of run_ids across EVERY snapshot ever written (not just
+    the current one). After compact() the latest snapshot lists only
+    ``compacted-N``, but historical snapshots still reference the
+    original run dirs — replaying one of those run_ids would rewrite
+    data files that older snapshots point at, breaking time travel.
+    The replay guard therefore checks this set, not the latest
+    snapshot's."""
+    ck = _ckpt(out_dir)
+    runs: set[str] = set()
+    if not os.path.isdir(ck):
+        return runs
+    for name in os.listdir(ck):
+        if name.startswith("snapshot-") and name.endswith(".json"):
+            with open(os.path.join(ck, name)) as f:
+                runs.update(json.load(f).get("runs", []))
+    return runs
+
+
 def processed_urls(spark: SparkSession, out_dir: str) -> DataFrame | None:
     """Union of processed-url manifests named by the current snapshot.
     Uncommitted runs (crash before snapshot rename) are invisible —

@@ -31,8 +31,8 @@ from .operators.lineage import lineage_from_extracted
 from .operators.manifest import build_manifest, filter_nonblank, latest_per_key
 from .operators.partitioning import salted_repartition
 from .operators.resume import (
+    all_committed_run_ids,
     commit_run,
-    load_snapshot,
     pending,
     processed_urls,
 )
@@ -53,11 +53,13 @@ def run_pipeline(
     replaced so reruns are addressable.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    prev = load_snapshot(out_dir)
-    if prev and run_id in prev["runs"]:
-        # Replaying a committed run must not clobber its data files
-        # (the overwrite below would). Idempotent-rerun means: new
-        # run_id, resume skips done urls.
+    if run_id in all_committed_run_ids(out_dir):
+        # Replaying an EVER-committed run must not clobber its data
+        # files (the overwrite below would; after compact() the latest
+        # snapshot forgets old run_ids but time travel still reads
+        # their dirs). Retrying a CRASHED run_id is fine — it never
+        # reached any snapshot. Idempotent-rerun means: new run_id,
+        # resume skips done urls.
         raise ValueError(
             f"run_id {run_id!r} is already committed in {out_dir}; "
             "rerun with a fresh run_id to resume"

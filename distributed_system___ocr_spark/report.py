@@ -2,7 +2,7 @@
 
 Reference: LocalApplication.java:158-216 ``createHtml`` — header
 (``<html>\\n<title>OCR</title>\\n<body>\\n``, LA:168), one
-``<p><img src=url><br/>text</p>`` block per url OCCURRENCE (the
+``<p><img src="url"><br/>text</p>`` block per url OCCURRENCE (the
 multiplicity loop LA:187-200 re-expands the per-url count), newlines
 rewritten to ``<br/>`` (LA:191), error rows rendered like results
 (errors are data), footer ``</body>\\n</html>`` (LA:206).
@@ -11,6 +11,13 @@ Differences (documented, deliberate):
 - blocks are ordered by url (the reference iterates a HashMap —
   *unspecified* order, so its goldens are order-insensitive per
   SURVEY.md §2c-5; we pick the deterministic order);
+- the footer closes the document with ``</html>``; the reference
+  appends a second opening ``<html>`` (LA:206 suffix string — a bug,
+  SURVEY §2d class, visible in both golden outputs), which we do not
+  replicate;
+- ``too_large`` rows render their error message like ``error`` rows
+  (errors are data, §2c-2; lineage counts too_large as failed, the
+  report agrees);
 - the report is assembled from a manifest⋈extracted join whose
   collect is bounded by the report size itself — a report is a
   human-readable artifact, so rendering is inherently driver-side;
@@ -33,12 +40,12 @@ def report_blocks(manifest: DataFrame, extracted: DataFrame) -> DataFrame:
     multiplicity. The join shuffles on url; the per-row rendering is
     pure column ops (JVM-side, no UDF)."""
     body = F.when(
-        F.col("status") == "error", F.coalesce(F.col("error"), F.lit(""))
+        F.col("error").isNotNull(), F.col("error")
     ).otherwise(F.coalesce(F.col("text"), F.lit("")))
     block = F.concat(
-        F.lit("\t<p>\n\t\t<img src="),
+        F.lit('\t<p>\n\t\t<img src="'),
         F.col("url"),
-        F.lit("><br/>\n\t\t"),
+        F.lit('"><br/>\n\t\t'),
         F.regexp_replace(body, "\n", "<br/>"),
         F.lit("\n\t</p>\n"),
     )

@@ -42,7 +42,16 @@ def _split_gzip_members(data: bytes):
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        yield d.decompress(data[pos:])
+        try:
+            member = d.decompress(data[pos:])
+        except zlib.error:
+            # corrupt member / non-gzip trailing bytes: keep the
+            # records already yielded, drop the rest of this file —
+            # one bad file must cost rows, never the task (the
+            # "tolerant of trailing garbage" contract; errors-as-rows
+            # discipline applied at the file level)
+            return
+        yield member
         tail = len(d.unused_data)
         pos = len(data) - tail if tail else len(data)
 

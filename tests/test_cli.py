@@ -39,3 +39,18 @@ def test_cli_run_and_resume(tmp_path):
         "--no-manifest", "--seed", "7",
     )
     assert info2["n_extracted_this_run"] == 0  # full resume, zero re-done
+
+
+def test_cli_report_without_manifest_fails_fast(tmp_path):
+    """--report needs the manifest; the combination must be rejected in
+    arg validation, BEFORE the pipeline spends a whole run."""
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "-m", "distributed_system___ocr_spark.cli",
+         "--synthetic", "10", "--output", str(tmp_path / "o"),
+         "--run-id", "x", "--report", str(tmp_path / "r.html"),
+         "--no-manifest"],
+        capture_output=True, text=True, timeout=60, env=env, cwd="/tmp",
+    )
+    assert out.returncode == 2  # argparse error exit, no Spark startup
+    assert "--no-manifest" in out.stderr

@@ -116,6 +116,25 @@ def test_replay_of_committed_run_id_rejected(spark, pages, tmp_path):
     assert read_extracted(spark, out).count() > 0
 
 
+def test_replay_after_compact_rejected(spark, pages, tmp_path):
+    """The replay guard must cover run_ids from EVERY snapshot, not
+    just the latest: after compact() the latest snapshot lists only
+    compacted-N, but replaying r1 would rewrite a data dir that the
+    pre-compaction snapshot still references (time travel would then
+    read clobbered data)."""
+    import pytest
+
+    from distributed_system___ocr_spark.operators.resume import compact
+
+    out = str(tmp_path / "out")
+    run_pipeline(spark, pages.limit(50), out, run_id="r1", num_partitions=4)
+    compact(spark, out)
+    with pytest.raises(ValueError, match="already committed"):
+        run_pipeline(spark, pages.limit(50), out, run_id="r1", num_partitions=4)
+    # the pre-compaction snapshot still reads its original files
+    assert read_extracted(spark, out, snapshot=0).count() > 0
+
+
 def test_plan_hygiene_no_rowwise_python(spark, pages):
     """Audit (§7-4): extract stage plan = one MapInPandas, no
     row-at-a-time Python (BatchEvalPython), input exchange is the

@@ -28,18 +28,19 @@ def _mini_tables(spark):
     manifest = spark.createDataFrame(
         pd.DataFrame(
             {
-                "url": ["http://a/1", "http://b/2", "http://c/3"],
-                "n_occurrences": [2, 1, 1],
+                "url": ["http://a/1", "http://b/2", "http://c/3", "http://d/4"],
+                "n_occurrences": [2, 1, 1, 1],
             }
         )
     )
     extracted = spark.createDataFrame(
         pd.DataFrame(
             {
-                "url": ["http://a/1", "http://b/2", "http://c/3"],
-                "text": ["line one\nline two", "plain", ""],
-                "status": ["ok", "ok", "error"],
-                "error": [None, None, "Image download error"],
+                "url": ["http://a/1", "http://b/2", "http://c/3", "http://d/4"],
+                "text": ["line one\nline two", "plain", "", ""],
+                "status": ["ok", "ok", "error", "too_large"],
+                "error": [None, None, "Image download error",
+                          "payload exceeds limit"],
             }
         )
     )
@@ -51,14 +52,19 @@ def test_report_format_matches_reference(spark):
     html = render_report(manifest, extracted)
     assert html.startswith(HEADER)
     assert html.endswith(FOOTER)
-    blocks = re.findall(r"\t<p>\n\t\t<img src=(.*?)><br/>\n\t\t(.*?)\n\t</p>\n",
-                        html, re.DOTALL)
+    # quoted src= exactly as LocalApplication.createHtml emits it
+    blocks = re.findall(
+        r'\t<p>\n\t\t<img src="(.*?)"><br/>\n\t\t(.*?)\n\t</p>\n',
+        html, re.DOTALL)
     # multiplicity re-expansion: url a appears twice (LA:187-200)
     urls = [u for u, _ in blocks]
-    assert urls == ["http://a/1", "http://a/1", "http://b/2", "http://c/3"]
+    assert urls == ["http://a/1", "http://a/1", "http://b/2",
+                    "http://c/3", "http://d/4"]
     by_url = dict(blocks)  # last block per url
     assert by_url["http://a/1"] == "line one<br/>line two"  # \n -> <br/> (LA:191)
     assert by_url["http://c/3"] == "Image download error"  # errors rendered as data
+    # too_large rows render their error too (lineage counts them failed)
+    assert by_url["http://d/4"] == "payload exceeds limit"
 
 
 def test_report_refuses_oversized(spark):

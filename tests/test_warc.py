@@ -65,6 +65,24 @@ def test_non_response_records_skipped(tmp_path):
     assert parsed == [("http://x/1", "2024-01-01T00:00:00Z", b"body")]
 
 
+def test_corrupt_gzip_member_drops_tail_not_task(tmp_path):
+    """A .warc.gz with a corrupt member (or non-gzip trailing bytes)
+    must yield the records before the corruption and stop — never
+    raise out of the parser (one bad file costs rows, not the task)."""
+    recs = list(_fixture_records(3))
+    p = str(tmp_path / "good.warc.gz")
+    write_warc(p, recs, gzip_members=True)
+    with open(p, "rb") as f:
+        good = f.read()
+    # append a member with a valid gzip magic but a broken header:
+    # decompression of that member raises zlib.error
+    parsed = list(parse_warc_records(good + b"\x1f\x8b" + b"\x00" * 20))
+    assert [u for u, _, _ in parsed] == [u for u, _, _ in recs]
+    # non-gzip trailing garbage after valid members
+    parsed2 = list(parse_warc_records(good + b"trailing garbage"))
+    assert [u for u, _, _ in parsed2] == [u for u, _, _ in recs]
+
+
 def test_warc_parser_total_on_garbage():
     from hypothesis import given, settings
     from hypothesis import strategies as st
