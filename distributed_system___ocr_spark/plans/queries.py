@@ -240,8 +240,10 @@ def q1_pricing_summary(spark, sf_dir):
     """,
 )
 def q3_top_revenue(spark, sf_dir):
-    """customer is tiny -> explicit broadcast; ties broken by orderkey
-    so the LIMIT is deterministic."""
+    """customer scales with the fact tables (150k rows/sf), so no
+    static broadcast hint — AQE broadcasts it at runtime when the
+    filtered side is measured small; ties broken by orderkey so the
+    LIMIT is deterministic."""
     cust = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -250,7 +252,7 @@ def q3_top_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.sum(

@@ -58,8 +58,13 @@ def asof_click_to_purchase(spark, sf_dir):
     """,
 )
 def q5_local_supplier_volume(spark, sf_dir):
-    """Fact table joins dims; every dim is broadcast, so the lineitem
-    scan never shuffles until the final (tiny) aggregation."""
+    """True dims (supplier/nation/region — bounded cardinality) get a
+    static broadcast hint; orders and customer are FACT-sized (1.5M /
+    150k rows per sf — broadcasting them OOMs at any real scale), so
+    lineitem⋈orders⋈customer are shuffle joins on their keys. AQE still
+    converts them to broadcast at runtime when a side is genuinely
+    small (e.g. test sf), which is the decision made from measured
+    sizes, not a hint that lies at 100 TB."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -67,8 +72,8 @@ def q5_local_supplier_volume(spark, sf_dir):
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
     joined = (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))

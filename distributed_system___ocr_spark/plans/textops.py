@@ -104,6 +104,12 @@ def dedup_exact_text(spark, sf_dir):
     """,
 )
 def dedup_trigram_jaccard(spark, sf_dir):
+    """Inverted-index candidate join. The per-doc shingle count ``n``
+    rides ALONG the exploded rows (it is a constant per doc, computed
+    before the explode), so no per-doc ``sizes`` table exists at all —
+    round 1 broadcast a corpus-sized side here, which is an OOM at any
+    real scale; carrying ``n`` removes both the broadcast and the two
+    extra joins."""
     docs = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _PAIR_LIMIT)
@@ -112,8 +118,11 @@ def dedup_trigram_jaccard(spark, sf_dir):
             F.array_distinct(F.expr(_SPARK_TRIGRAMS)).alias("shingles"),
         )
     )
-    tri = docs.select("doc_id", F.explode("shingles").alias("sh"))
-    sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
+    tri = docs.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("sh"),
+    )
     a = tri.alias("a")
     b = tri.alias("b")
     shared = (
@@ -122,20 +131,17 @@ def dedup_trigram_jaccard(spark, sf_dir):
         .groupBy(
             F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
         )
-        .agg(F.count("*").alias("n_shared"))
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
     )
     jac = F.col("n_shared").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+        F.col("na") + F.col("nb") - F.col("n_shared")
     )
-    return (
-        shared.join(
-            F.broadcast(sizes.alias("sa")), F.col("a_id") == F.col("sa.doc_id")
-        )
-        .join(
-            F.broadcast(sizes.alias("sb")), F.col("b_id") == F.col("sb.doc_id")
-        )
-        .filter(jac >= 0.05)
-        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+    return shared.filter(jac >= 0.05).select(
+        "a_id", "b_id", F.round(jac, 6).alias("jaccard")
     )
 
 

@@ -60,3 +60,34 @@ def test_no_rowwise_python_anywhere(spark, name):
 def test_anti_join_is_broadcast(spark):
     plan = _plan(REGISTRY["resume_anti_join"]["builder"](spark, SF))
     assert "LeftAnti" in plan
+
+
+# Column prefixes that mark a table as fact-sized: scales with sf
+# (lineitem/orders/customer) or is one-row-per-document/vector.
+# A STATIC broadcast hint on such a side is a scale-killer that stays
+# invisible behind green small-sf tests (round-1 verdict items 2-3);
+# AQE may still broadcast them at runtime from MEASURED sizes, which
+# is correct and not what this audit rejects.
+_FACT_MARKERS = ("l_orderkey", "o_orderkey", "c_custkey", "doc_id", "url")
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_static_broadcast_hint_on_fact_tables(spark, name):
+    import re
+
+    if name == "streaming_windowed_counts":
+        pytest.skip("streaming query materializes on build")
+    analyzed = (
+        REGISTRY[name]["builder"](spark, SF)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    hinted = re.findall(
+        r"ResolvedHint \(strategy=broadcast\)\s*\n"
+        r"[\s:+|-]*Relation \[([^\]]*)\]",
+        analyzed,
+    )
+    for cols in hinted:
+        assert not any(m in cols for m in _FACT_MARKERS), (
+            f"{name}: static broadcast hint on a fact-sized relation "
+            f"({cols[:80]}...)"
+        )
