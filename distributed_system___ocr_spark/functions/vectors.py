@@ -67,6 +67,29 @@ def lsh_bucket_udf(planes: list[list[float]]):
     return bucket
 
 
+def ivf_cell_udf(centroids: list[list[float]]):
+    """array<double> -> bigint nearest-centroid cell (1-based, first
+    argmin on ties — matching SQL array_position/list_position).
+
+    Distance per centroid is the same expansion both oracles use,
+    evaluated in the same strict order: (dot(v,v) - 2*dot(v,c)) +
+    |c|^2, with |c|^2 the identical Python-float constant embedded in
+    the SQL literal."""
+    cs = [np.asarray(c, dtype=np.float64) for c in centroids]
+    sq = [sum(x * x for x in c) for c in centroids]  # same fold as SQL literal
+
+    @F.pandas_udf("long")
+    def cell(v: pd.Series) -> pd.Series:
+        a = _stack(v)
+        vv = _seq_dot(a, a)
+        d = np.empty((a.shape[0], len(cs)), dtype=np.float64)
+        for j, (c, s) in enumerate(zip(cs, sq)):
+            d[:, j] = (vv - 2.0 * _seq_dot_vec(a, c)) + s
+        return pd.Series(np.argmin(d, axis=1).astype(np.int64) + 1)
+
+    return cell
+
+
 def l2_norm_udf():
     @F.pandas_udf("double")
     def norm(v: pd.Series) -> pd.Series:

@@ -486,34 +486,15 @@ _WINNOW_W = 4  # window of 4 consecutive trigram hashes
     """,
 )
 def winnowing_fingerprints(spark, sf_dir):
-    from pyspark.sql import Window
+    """Per-doc Arrow-batched kernel (functions.fingerprint.winnow_stage)
+    — winnowing is a pure function of one document, so the plan is a
+    narrow map over the scan: no k-gram explode (~n_tokens× rows), no
+    per-doc window sort, zero shuffles. The SQL oracle keeps the
+    explode+window formulation and pins value-identity."""
+    from ..functions.fingerprint import winnow_stage
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_SPARK_TRIGRAMS).alias("shingles")
-    )
-    grams = docs.select(
-        "doc_id", F.posexplode("shingles").alias("pos0", "sh")
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 8), 16, 10)
-        .cast("long").alias("h"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(_WINNOW_W - 1), 0)
-    )
-    fps = (
-        grams.withColumn("fp", F.min("h").over(w))
-        .filter(F.col("pos") >= _WINNOW_W)
-        .select("doc_id", "fp")
-        .distinct()
-    )
-    return fps.groupBy("doc_id").agg(
-        F.count("*").alias("n_fingerprints"),
-        F.min("fp").cast("long").alias("min_fp"),
-        F.max("fp").cast("long").alias("max_fp"),
+    return winnow_stage(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
     )
 
 

@@ -27,7 +27,7 @@ import random
 
 from pyspark.sql import functions as F
 
-from ..functions.vectors import lsh_bucket_udf
+from ..functions.vectors import ivf_cell_udf, lsh_bucket_udf
 from .queries import _t, register
 
 _DIM = 64
@@ -396,19 +396,13 @@ def ann_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _spark_dvec(F.col("embedding")).alias("v")
     )
-    # squared L2 to each centroid: |v|^2 - 2 v.c + |c|^2 (linear fold,
-    # identical to the oracle's expansion)
-    dists = F.array(
-        *[
-            _spark_dot(F.col("v"), F.col("v"))
-            - 2 * _spark_dot(F.col("v"), F.array(*[F.lit(x) for x in c]))
-            + F.lit(sum(x * x for x in c))
-            for c in IVF_CENTROIDS
-        ]
+    # nearest-centroid assignment via the numpy strict-order kernel —
+    # 16 interpreted Catalyst aggregate(zip_with(...)) folds per row
+    # were the whole cost of this query (6.3 s round 1); bit-identical
+    # to the oracle's |v|^2 - 2 v.c + |c|^2 argmin expansion
+    assigned = emb.withColumn(
+        "cell", ivf_cell_udf(IVF_CENTROIDS)(F.col("v"))
     )
-    assigned = emb.withColumn("dists", dists).withColumn(
-        "cell", F.array_position(F.col("dists"), F.array_min("dists"))
-    ).drop("dists")
     q = assigned.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
