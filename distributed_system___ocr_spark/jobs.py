@@ -1,0 +1,72 @@
+"""O15: multi-tenant job submission.
+
+Reference: the manager serves MANY client applications at once — a
+listener pool polls a shared client->manager queue (Manager.java:
+111-127), per-app state is keyed by localAppID (Manager.java:50-60)
+and results route back through per-client response queues
+(Manager.java:309-310).
+
+Spark idiom: one SparkSession serves N jobs; each job is a
+``run_pipeline`` invocation with its own output NAMESPACE
+(``base_dir/<app_id>``) — snapshots, manifests and lineage are
+per-tenant by construction, so isolation is a property of the layout
+rather than of locking. Optional concurrency uses driver threads with
+per-thread FAIR scheduler pools (the supported way to run concurrent
+actions in one session) — the analogue of the reference's listener
+thread pool. A job-level failure is captured into that job's response
+dict (the reference's per-client error response), never propagated to
+sibling jobs.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import SparkSession
+
+
+def submit_jobs(
+    spark: SparkSession,
+    jobs: list[dict],
+    base_dir: str,
+    max_parallel: int = 1,
+) -> list[dict]:
+    """Run N extraction jobs against one session.
+
+    Each job dict: ``app_id`` (tenant namespace), ``pages`` (input
+    DataFrame), optional ``run_id`` (default ``run-0``) and
+    ``partitions``. Returns one response dict per job, in input order:
+    ``{"app_id", "ok", ...run_pipeline info | "error"}``.
+    """
+    from .pipeline import run_pipeline
+
+    def run_one(job: dict) -> dict:
+        app_id = job["app_id"]
+        out = os.path.join(base_dir, app_id)
+        sc = spark.sparkContext
+        try:
+            # per-thread pool: concurrent jobs share executors fairly
+            # instead of FIFO head-of-line blocking
+            sc.setLocalProperty("spark.scheduler.pool", app_id)
+            info = run_pipeline(
+                spark,
+                job["pages"],
+                out,
+                run_id=job.get("run_id", "run-0"),
+                num_partitions=job.get("partitions"),
+            )
+            return {"app_id": app_id, "ok": True, **info}
+        except Exception as e:  # errors are responses, not crashes
+            return {
+                "app_id": app_id,
+                "ok": False,
+                "error": f"{type(e).__name__}: {e}",
+            }
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    if max_parallel <= 1:
+        return [run_one(j) for j in jobs]
+    with ThreadPoolExecutor(max_workers=max_parallel) as ex:
+        return list(ex.map(run_one, jobs))

@@ -89,8 +89,17 @@ def extract_stage(pages: DataFrame) -> DataFrame:
     explicit salted repartition); the plan shows exactly one
     MapInArrow/ArrowEvalPython node and no per-row Python (audited in
     tests via explain()).
+
+    Only the columns the extractor reads cross the Arrow boundary —
+    in particular the input's ``text`` column (pre-extracted text on
+    Common-Crawl-style tables, potentially KBs per row) is pruned
+    before the Python stage rather than serialized and dropped inside
+    it. Catalyst pushes this projection below any explicit repartition,
+    so the exchange doesn't carry it either.
     """
-    return pages.mapInArrow(_extract_batches, EXTRACTED_SCHEMA)
+    return pages.select("url", "warc_ts", "lang", "html").mapInArrow(
+        _extract_batches, EXTRACTED_SCHEMA
+    )
 
 
 __all__ = ["extract_stage", "EXTRACTED_SCHEMA", "EXTRACTOR_VERSION"]

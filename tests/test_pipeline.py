@@ -74,7 +74,11 @@ def test_rerun_is_stable_and_resume_skips_done(spark, pages, tmp_path):
     """Kill-rerun semantics: a second run over a superset input
     extracts ONLY new urls (anti-join resume, zero reprocessing)."""
     out = str(tmp_path / "out")
-    first = pages.limit(300)
+    # deterministic subset by url hash — limit() on a repartitioned df
+    # has unstable ROW IDENTITY across executions (classic no-ORDER-BY
+    # LIMIT), so "which 300 rows" would differ between the pipeline's
+    # run and this test's recount
+    first = pages.filter(F.abs(F.xxhash64("url")) % 5 != 0)
     info1 = run_pipeline(spark, first, out, run_id="r1", num_partitions=4)
     n1 = first.select("url").distinct().count()
     assert info1["n_extracted_this_run"] == n1
