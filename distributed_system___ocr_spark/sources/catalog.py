@@ -41,6 +41,45 @@ class ParquetSnapshotCatalog:
         return dest
 
 
+@dataclass
+class SessionCatalog:
+    """Spark's built-in session catalog (managed parquet tables under
+    spark.sql.warehouse.dir). EXECUTABLE in this container — it drives
+    the same ``read.table`` / ``writeTo`` API surface the Iceberg
+    catalog uses, so the table-based code path is tested for real; what
+    it lacks vs Iceberg is snapshot isolation, which operators.resume
+    supplies on top (same as the parquet catalog).
+    """
+
+    database: str = "default"
+
+    def _fq(self, table: str) -> str:
+        return f"{self.database}.{table}"
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.table(self._fq(table))
+
+    def write_overwrite(self, df: DataFrame, table: str) -> None:
+        # v1 session-catalog tables don't support the writeTo(...)
+        # REPLACE TABLE path; saveAsTable is their overwrite surface
+        df.write.format("parquet").mode("overwrite").saveAsTable(
+            self._fq(table)
+        )
+
+    def write_append_run(self, df: DataFrame, table: str, run_id: str) -> str:
+        from pyspark.sql import functions as F
+
+        fq = self._fq(table)
+        (
+            df.withColumn("run_id", F.lit(run_id))
+            .write.format("parquet")
+            .mode("append")
+            .partitionBy("run_id")
+            .saveAsTable(fq)
+        )
+        return fq
+
+
 class IcebergCatalog:
     """Real Iceberg catalog — requires iceberg-spark-runtime on the
     classpath; unavailable in this container (import-gated)."""
@@ -60,9 +99,14 @@ class IcebergCatalog:
 
 
 def default_catalog(spark: SparkSession, root: str):
-    """IcebergCatalog when the runtime is present, parquet otherwise."""
+    """IcebergCatalog when the runtime is present, parquet otherwise.
+
+    The probe loads the class for real: a bare ``spark._jvm.org...``
+    attribute access NEVER raises (py4j hands back a lazy JavaPackage),
+    which made the round-1 probe always claim Iceberg was present.
+    """
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018 — probe only
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
         return IcebergCatalog()
     except Exception:  # noqa: BLE001 — any failure means no Iceberg jar
         return ParquetSnapshotCatalog(root)

