@@ -1,0 +1,176 @@
+"""Training-data curation operators, round 2: deterministic stratified
+sampling (mixture weighting), PII redaction / text normalization, and
+source skew analytics — each a (Spark builder, DuckDB oracle) pair
+over ``documents``.
+
+Cross-engine determinism: the sampling "random" is a hash bucket
+(md5 of the doc_id string — identical hex in both engines), never an
+RNG; redaction regexes stay in the common Java-regex/RE2 subset; all
+shares are decimal-summed before the double division.
+
+Scale notes: hash-bucket sampling is a stateless per-row filter (the
+ONLY sane way to sample 10^12 rows — no count pass, no RNG state,
+reproducible per doc across reruns and resumes); redaction is per-row
+regexp_replace inside codegen; skew stats are one partial-agg shuffle
+over (source) + a single-row broadcast-back for the share.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import _t, register
+
+# hash bucket in [0, 100): same md5-hex arithmetic both engines
+_DUCK_BUCKET100 = (
+    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+)
+
+
+def _spark_bucket100():
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16, 10,
+        ).cast("long") % 100
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic stratified sampling (training-mixture weighting)
+# --------------------------------------------------------------------------
+
+_RATES = {"en": 85, "fr": 50, "es": 40}  # percent kept per stratum
+_DEFAULT_RATE = 20
+
+_DUCK_RATE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _RATES.items())
+    + f" ELSE {_DEFAULT_RATE} END"
+)
+
+
+@register(
+    "sample_stratified_docs",
+    f"""
+    SELECT doc_id, lang,
+           CAST({_DUCK_BUCKET100} AS BIGINT) AS bucket
+    FROM documents
+    WHERE {_DUCK_BUCKET100} < {_DUCK_RATE}
+    """,
+)
+def sample_stratified_docs(spark, sf_dir):
+    """Per-language mixture downsampling by hash bucket: keep doc when
+    bucket(doc_id) < rate(lang). Stateless per-row filter — no count
+    pass, no RNG, reproducible per doc across reruns/resumes, and the
+    filter sits in the scan stage at any scale."""
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in reversed(_RATES.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    b = _spark_bucket100()
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(b < rate)
+        .select("doc_id", "lang", b.alias("bucket"))
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction / text normalization
+# --------------------------------------------------------------------------
+# The fixture corpus has no organic PII, so the query first injects a
+# deterministic email/phone/id per doc (same expression both engines) —
+# otherwise this would be a gate that never fires (the round-1
+# embedding_near_dup lesson). The redaction expressions themselves are
+# the reusable operator surface.
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_DIGITS_RE = "[0-9]{4,}"
+
+
+@register(
+    "redact_pii_text",
+    f"""
+    WITH injected AS (
+      SELECT doc_id,
+             substring(text, 1, 80) || ' contact user' ||
+             CAST(doc_id AS VARCHAR) || '@mail.example.com ref ' ||
+             lpad(CAST(doc_id % 100000 AS VARCHAR), 6, '0') AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_DIGITS_RE}', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_DIGITS_RE}')) AS BIGINT)
+             AS n_digit_runs
+    FROM injected
+    """,
+)
+def redact_pii_text(spark, sf_dir):
+    raw = F.concat(
+        F.substring("text", 1, 80),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com ref "),
+        F.lpad((F.col("doc_id") % 100000).cast("string"), 6, "0"),
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", raw.alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>"), _DIGITS_RE, "<NUM>"
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all("raw", F.lit(_EMAIL_RE), 0))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(_DIGITS_RE), 0))
+        .cast("long").alias("n_digit_runs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# source skew analytics (heavy-hitter detection over the corpus)
+# --------------------------------------------------------------------------
+
+@register(
+    "source_skew_stats",
+    """
+    WITH per_source AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, total_chars,
+           round(CAST(n_docs AS DOUBLE)
+                 / (sum(n_docs) OVER ()), 6) AS doc_share,
+           (CAST(n_docs AS DOUBLE) * count(*) OVER ()
+              > 1.5 * sum(n_docs) OVER ()) AS is_heavy
+    FROM per_source
+    """,
+)
+def source_skew_stats(spark, sf_dir):
+    """Per-source share + heavy-hitter flag (share > 1.5x the uniform
+    share): the monitoring input for salting decisions. One partial-agg
+    shuffle on source; the OVER () totals are a single-row exchange
+    over the already-aggregated frame, not the fact table."""
+    from pyspark.sql import Window
+
+    per_source = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_docs").over(w)
+    n_sources = F.count("*").over(w)
+    return per_source.select(
+        "source", "n_docs", "total_chars",
+        F.round(F.col("n_docs").cast("double") / total, 6).alias("doc_share"),
+        (F.col("n_docs").cast("double") * n_sources > 1.5 * total)
+        .alias("is_heavy"),
+    )

@@ -364,6 +364,54 @@ _DUCK_DISTS = ", ".join(
 )
 
 
+@register("ann_ivf_trained_topk", None)  # iterative training: no SQL oracle
+def ann_ivf_trained_topk(spark, sf_dir):
+    """IVF with a quantizer TRAINED on the corpus (operators.kmeans,
+    distributed Lloyd's with decimal-exact updates) instead of the
+    fixed seeded centroids. Iterative + data-dependent, hence rows-only
+    for the driver; pytest pins determinism, monotone inertia,
+    assignment optimality and recall >= the fixed-centroid IVF."""
+    from pyspark.sql import Window
+
+    from ..operators.kmeans import kmeans_train
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _spark_dvec(F.col("embedding")).alias("v")
+    )
+    cents = kmeans_train(emb, k=_N_CELLS, iters=3)
+    assigned = emb.withColumn("cell", ivf_cell_udf(cents)(F.col("v")))
+    q = assigned.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("cell").alias("ccell"),
+    )
+    cos = _spark_dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_spark_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_spark_dot(F.col("cv"), F.col("cv")))
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("ccell") == F.col("qcell"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select("query_id", "neighbor_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"), "rnk",
+        )
+    )
+
+
 @register(
     "ann_ivf_topk",
     f"""
