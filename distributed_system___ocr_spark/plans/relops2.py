@@ -91,6 +91,91 @@ def q5_local_supplier_volume(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# range (interval) join: clicks within the hour before each purchase
+# --------------------------------------------------------------------------
+
+@register(
+    "range_join_click_window",
+    """
+    SELECT p.event_id, p.user_id, count(c.event_id) AS n_clicks_1h
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def range_join_click_window(spark, sf_dir):
+    """Equi-key (user) + range predicate: the shuffle is on user_id
+    only, so each task range-scans one user's events — bounded fan-out,
+    never a cross product. The classic attribution-window join."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy(
+        F.col("p_id").alias("event_id"), F.col("p_user").alias("user_id")
+    ).agg(F.count("c_id").alias("n_clicks_1h"))
+
+
+# --------------------------------------------------------------------------
+# calendar-spine gap-fill (time-series resample with empty buckets)
+# --------------------------------------------------------------------------
+
+@register(
+    "gapfill_daily_events",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1
+    )
+    SELECT s.day, coalesce(d.n, 0) AS n_events
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+)
+def gapfill_daily_events(spark, sf_dir):
+    """Dense daily counts including zero days: the spine is generated
+    from the aggregated bounds (2 scalar rows cross the driver-free
+    plan, not the fact table), exploded, and left-joined to the daily
+    partial agg — the standard resample shape at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+# --------------------------------------------------------------------------
 # semi-join (EXISTS)
 # --------------------------------------------------------------------------
 

@@ -29,7 +29,9 @@ def _norm_cell(v):
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     if hasattr(v, "isoformat"):  # datetime/date; strip tz (spark UTC)
-        return v.replace(tzinfo=None).isoformat() if hasattr(v, "replace") else v.isoformat()
+        if hasattr(v, "tzinfo"):  # datetime only — date has no tz
+            return v.replace(tzinfo=None).isoformat()
+        return v.isoformat()
     if hasattr(v, "asDict"):  # Row
         return tuple(sorted((k, _norm_cell(x)) for k, x in v.asDict().items()))
     return v
