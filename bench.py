@@ -135,17 +135,20 @@ def main() -> None:
             # of rounds fakes sub/super-linear scaling. Alternating
             # LOW/HIGH sessions exposes both levels to the same noise
             # windows; best-of converges on the true floor because
-            # noise only ever slows a run down. 3 pairs always, then up
-            # to 3 more while the ratio still looks noise-suppressed.
+            # noise only ever slows a run down. Sampling is SYMMETRIC
+            # (same trials per level, escalation adds whole pairs) so
+            # best-of-K minimum-sampling can't bias the ratio; 3 pairs
+            # always, then up to 3 more while the ratio still looks
+            # noise-suppressed.
             t_lo = t_hi = float("inf")
             pairs = 0
             for _ in range(3):
                 t_lo = min(t_lo, one_session(LOW, f"p{pairs}", trials=2))
-                t_hi = min(t_hi, one_session(HIGH, f"p{pairs}", trials=3))
+                t_hi = min(t_hi, one_session(HIGH, f"p{pairs}", trials=2))
                 pairs += 1
             while pairs < 6 and (t_lo / t_hi) / (HIGH / LOW) < 0.82:
                 t_lo = min(t_lo, one_session(LOW, f"p{pairs}", trials=2))
-                t_hi = min(t_hi, one_session(HIGH, f"p{pairs}", trials=3))
+                t_hi = min(t_hi, one_session(HIGH, f"p{pairs}", trials=2))
                 pairs += 1
             t_max = min(
                 one_session(CPUS, "m0", trials=2),

@@ -35,8 +35,10 @@ def submit_jobs(
     """Run N extraction jobs against one session.
 
     Each job dict: ``app_id`` (tenant namespace), ``pages`` (input
-    DataFrame), optional ``run_id`` (default ``run-0``) and
-    ``partitions``. Returns one response dict per job, in input order:
+    DataFrame), optional ``run_id`` (default: a fresh id per
+    submission, so resubmitting a tenant's job RESUMES via the
+    anti-join instead of tripping the replay guard) and ``partitions``.
+    Returns one response dict per job, in input order:
     ``{"app_id", "ok", ...run_pipeline info | "error"}``.
     """
     from .pipeline import run_pipeline
@@ -53,7 +55,7 @@ def submit_jobs(
                 spark,
                 job["pages"],
                 out,
-                run_id=job.get("run_id", "run-0"),
+                run_id=job.get("run_id"),  # None -> fresh id (resume)
                 num_partitions=job.get("partitions"),
             )
             return {"app_id": app_id, "ok": True, **info}

@@ -40,6 +40,15 @@ def _ckpt(out_dir: str) -> str:
     return os.path.join(out_dir, "_checkpoint")
 
 
+def _atomic_write(path: str, content: str) -> None:
+    """tmp + rename so no reader (or the replay guard) ever sees a
+    torn file — a crash mid-write leaves only an orphan tmp."""
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+    with os.fdopen(fd, "w") as f:
+        f.write(content)
+    os.replace(tmp, path)
+
+
 def load_snapshot(out_dir: str) -> dict | None:
     latest = os.path.join(_ckpt(out_dir), "LATEST")
     if not os.path.exists(latest):
@@ -51,21 +60,34 @@ def load_snapshot(out_dir: str) -> dict | None:
 
 
 def all_committed_run_ids(out_dir: str) -> set[str]:
-    """Union of run_ids across EVERY snapshot ever written (not just
-    the current one). After compact() the latest snapshot lists only
+    """Union of run_ids across every COMMITTED snapshot (n <= the one
+    LATEST points at). After compact() the latest snapshot lists only
     ``compacted-N``, but historical snapshots still reference the
     original run dirs — replaying one of those run_ids would rewrite
     data files that older snapshots point at, breaking time travel.
     The replay guard therefore checks this set, not the latest
-    snapshot's."""
+    snapshot's.
+
+    Snapshots NEWER than LATEST are ignored: a crash between writing
+    snapshot-N.json and the LATEST rename leaves an uncommitted
+    snapshot file whose run never published — retrying that run_id is
+    exactly what resume is for. (Snapshot files are themselves written
+    via tmp+rename, so a parseable-but-stale file is the only
+    crash residue possible.)"""
+    latest = load_snapshot(out_dir)
+    if latest is None:
+        return set()
     ck = _ckpt(out_dir)
     runs: set[str] = set()
-    if not os.path.isdir(ck):
-        return runs
-    for name in os.listdir(ck):
-        if name.startswith("snapshot-") and name.endswith(".json"):
-            with open(os.path.join(ck, name)) as f:
+    for n in range(latest["n"] + 1):
+        path = os.path.join(ck, f"snapshot-{n}.json")
+        try:
+            with open(path) as f:
                 runs.update(json.load(f).get("runs", []))
+        except (FileNotFoundError, json.JSONDecodeError):
+            # atomic snapshot writes mean a committed snapshot is always
+            # parseable; anything else here is manual tampering
+            continue
     return runs
 
 
@@ -111,12 +133,8 @@ def commit_run(
     runs = (prev["runs"] if prev else []) + [run_id]
     snap = {"n": n, "runs": runs}
     name = f"snapshot-{n}.json"
-    with open(os.path.join(ck, name), "w") as f:
-        json.dump(snap, f)
-    fd, tmp = tempfile.mkstemp(dir=ck)
-    with os.fdopen(fd, "w") as f:
-        f.write(name)
-    os.replace(tmp, os.path.join(ck, "LATEST"))  # atomic commit point
+    _atomic_write(os.path.join(ck, name), json.dumps(snap))
+    _atomic_write(os.path.join(ck, "LATEST"), name)  # atomic commit point
     return snap
 
 
@@ -193,10 +211,6 @@ def compact(
     )
     new_snap = {"n": n, "runs": [new_run]}
     name = f"snapshot-{n}.json"
-    with open(os.path.join(ck, name), "w") as f:
-        json.dump(new_snap, f)
-    fd, tmp = tempfile.mkstemp(dir=ck)
-    with os.fdopen(fd, "w") as f:
-        f.write(name)
-    os.replace(tmp, os.path.join(ck, "LATEST"))  # atomic flip
+    _atomic_write(os.path.join(ck, name), json.dumps(new_snap))
+    _atomic_write(os.path.join(ck, "LATEST"), name)  # atomic flip
     return new_snap

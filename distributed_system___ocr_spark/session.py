@@ -52,6 +52,10 @@ def get_spark(
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # FAIR task scheduling so concurrent jobs in one session
+        # (jobs.submit_jobs multi-tenant pools) share executors instead
+        # of FIFO head-of-line blocking; no effect on single-job runs
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -103,10 +103,16 @@ def default_catalog(spark: SparkSession, root: str):
 
     The probe loads the class for real: a bare ``spark._jvm.org...``
     attribute access NEVER raises (py4j hands back a lazy JavaPackage),
-    which made the round-1 probe always claim Iceberg was present.
+    which made the round-1 probe always claim Iceberg was present. It
+    resolves through Spark's Utils.classForName (context-or-Spark
+    classloader) because jars shipped via --jars/--packages live in
+    Spark's child classloader, invisible to a plain Class.forName from
+    the launcher loader.
     """
     try:
-        spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
+        spark._jvm.org.apache.spark.util.Utils.classForName(
+            "org.apache.iceberg.catalog.Catalog", True, False
+        )
         return IcebergCatalog()
     except Exception:  # noqa: BLE001 — any failure means no Iceberg jar
         return ParquetSnapshotCatalog(root)

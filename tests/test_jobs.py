@@ -43,14 +43,15 @@ def test_failed_job_responds_without_affecting_siblings(spark, pages, tmp_path):
     base = str(tmp_path / "tenants")
     ok1 = submit_jobs(
         spark, [{"app_id": "t1", "pages": pages.limit(40),
-                 "partitions": 2}], base,
+                 "run_id": "r1", "partitions": 2}], base,
     )
     assert ok1[0]["ok"]
     # t1 replays its committed run_id (a job-level error) while t2 is new
     res = submit_jobs(
         spark,
         [
-            {"app_id": "t1", "pages": pages.limit(40), "partitions": 2},
+            {"app_id": "t1", "pages": pages.limit(40), "run_id": "r1",
+             "partitions": 2},
             {"app_id": "t2", "pages": pages.limit(40), "partitions": 2},
         ],
         base,
@@ -61,3 +62,17 @@ def test_failed_job_responds_without_affecting_siblings(spark, pages, tmp_path):
     assert read_extracted(spark, os.path.join(base, "t2")).count() > 0
     # t1's committed data untouched by its failed replay
     assert read_extracted(spark, os.path.join(base, "t1")).count() > 0
+
+
+def test_resubmission_without_run_id_resumes(spark, pages, tmp_path):
+    """Default run_id is a fresh id per submission, so resubmitting a
+    tenant's job resumes (0 reprocessed) instead of tripping the
+    replay guard."""
+    base = str(tmp_path / "tenants")
+    # deterministic subset (limit row identity is unstable across runs)
+    subset = pages.filter(F.abs(F.xxhash64("url")) % 10 == 0)
+    job = {"app_id": "t1", "pages": subset, "partitions": 2}
+    r1 = submit_jobs(spark, [dict(job)], base)
+    assert r1[0]["ok"] and r1[0]["n_extracted_this_run"] > 0
+    r2 = submit_jobs(spark, [dict(job)], base)
+    assert r2[0]["ok"] and r2[0]["n_extracted_this_run"] == 0

@@ -120,6 +120,28 @@ def test_replay_of_committed_run_id_rejected(spark, pages, tmp_path):
     assert read_extracted(spark, out).count() > 0
 
 
+def test_crashed_snapshot_does_not_block_retry(spark, pages, tmp_path):
+    """A crash AFTER snapshot-N.json is written but BEFORE the LATEST
+    flip leaves an unpublished snapshot naming the run. That run never
+    committed, so retrying its run_id must succeed (the replay guard
+    only honors snapshots at or below LATEST)."""
+    import json
+
+    out = str(tmp_path / "out")
+    run_pipeline(spark, pages.limit(50), out, run_id="r1", num_partitions=4)
+    # simulate the crash residue: snapshot-1.json exists, LATEST still
+    # points at snapshot-0
+    ck = os.path.join(out, "_checkpoint")
+    with open(os.path.join(ck, "snapshot-1.json"), "w") as f:
+        json.dump({"n": 1, "runs": ["r1", "r-crashed"]}, f)
+    info = run_pipeline(
+        spark, pages.limit(50), out, run_id="r-crashed", num_partitions=4
+    )
+    assert info["run_id"] == "r-crashed"
+    # its commit superseded the stale residue: snapshot-1 now real
+    assert read_extracted(spark, out).count() > 0
+
+
 def test_replay_after_compact_rejected(spark, pages, tmp_path):
     """The replay guard must cover run_ids from EVERY snapshot, not
     just the latest: after compact() the latest snapshot lists only
