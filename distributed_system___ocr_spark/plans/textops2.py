@@ -131,6 +131,46 @@ def redact_pii_text(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# two-phase salted aggregation (the skew-breaking agg pattern)
+# --------------------------------------------------------------------------
+
+_N_SALTS = 8
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    """Hot-key aggregation in two phases: phase 1 groups by
+    (key, salt) so one hot language spreads over _N_SALTS reducers,
+    phase 2 merges the per-salt partials. Identical result to the
+    direct groupBy (the oracle), which is the point — the rewrite is
+    pure physical-shuffle shaping for when AQE's skew handling isn't
+    enough (e.g. a single key holding >50% of 10^12 rows). Salt comes
+    from a hash of the row's unique id: deterministic, no RNG."""
+    d = _t(spark, sf_dir, "documents")
+    salted = d.withColumn(
+        "_salt", (F.abs(F.xxhash64("doc_id")) % _N_SALTS)
+    )
+    partial = salted.groupBy("lang", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum("n_chars").alias("psum"),
+        F.max("n_chars").alias("pmax"),
+    )
+    return partial.groupBy("lang").agg(
+        F.sum("pn").alias("n_docs"),
+        F.sum("psum").cast("long").alias("total_chars"),
+        F.max("pmax").cast("long").alias("max_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
 # source skew analytics (heavy-hitter detection over the corpus)
 # --------------------------------------------------------------------------
 

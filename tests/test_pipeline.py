@@ -161,6 +161,22 @@ def test_replay_after_compact_rejected(spark, pages, tmp_path):
     assert read_extracted(spark, out, snapshot=0).count() > 0
 
 
+def test_extract_scan_prunes_text_column(spark, pages, tmp_path):
+    """The extract stage must not read (or ship through Arrow) the
+    input's text column — on real Common-Crawl tables it carries KBs
+    per row of previously extracted text. Pinned at the SCAN: the
+    parquet ReadSchema excludes it."""
+    src = str(tmp_path / "pages_src")
+    pages.limit(50).write.parquet(src)
+    plan = (
+        extract_stage(spark.read.parquet(src))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" in read_schema
+    assert "text" not in read_schema
+
+
 def test_plan_hygiene_no_rowwise_python(spark, pages):
     """Audit (§7-4): extract stage plan = one MapInPandas, no
     row-at-a-time Python (BatchEvalPython), input exchange is the
