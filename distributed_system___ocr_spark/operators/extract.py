@@ -41,14 +41,35 @@ def _extract_batches(batches):
     import pyarrow as pa
     from pyspark import TaskContext
 
-    span_type = pa.list_(
-        pa.struct(
-            [("start", pa.int32()), ("end", pa.int32()), ("kind", pa.string())]
-        )
-    )
     tc = TaskContext.get()
     pid = tc.partitionId() if tc is not None else -1
     t0 = time.monotonic()
+
+    def span_array(results):
+        # flattened ListArray<Struct> construction: ~3x cheaper than
+        # list-of-dicts conversion (no per-span dict churn)
+        offsets = [0]
+        starts: list[int] = []
+        ends: list[int] = []
+        kinds: list[str] = []
+        off = 0
+        for r in results:
+            off += len(r.spans)
+            offsets.append(off)
+            for s, e, k in r.spans:
+                starts.append(s)
+                ends.append(e)
+                kinds.append(k)
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(starts, pa.int32()),
+                pa.array(ends, pa.int32()),
+                pa.array(kinds, pa.string()),
+            ],
+            ["start", "end", "kind"],
+        )
+        return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+
     for b in batches:
         results = [extract_payload(p) for p in b.column("html").to_pylist()]
         n = len(results)
@@ -59,16 +80,7 @@ def _extract_batches(batches):
                 b.column("warc_ts"),
                 b.column("lang"),
                 pa.array([r.text for r in results], pa.string()),
-                pa.array(
-                    [
-                        [
-                            {"start": s, "end": e, "kind": k}
-                            for (s, e, k) in r.spans
-                        ]
-                        for r in results
-                    ],
-                    span_type,
-                ),
+                span_array(results),
                 pa.array([r.status for r in results], pa.string()),
                 pa.array([r.error for r in results], pa.string()),
                 pa.array([len(r.text) for r in results], pa.int32()),

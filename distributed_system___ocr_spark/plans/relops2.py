@@ -239,6 +239,39 @@ def intersect_users(spark, sf_dir):
 
 
 @register(
+    "except_all_multiset",
+    """
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def except_all_multiset(spark, sf_dir):
+    """Multiset difference (bag semantics): each purchase occurrence
+    cancels ONE view occurrence of the same user — the duplicate
+    accounting distinction the plain EXCEPT (set) query can't show."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.exceptAll(b)
+
+
+@register(
+    "intersect_all_multiset",
+    """
+    SELECT user_id FROM events WHERE event_type = 'view'
+    INTERSECT ALL
+    SELECT user_id FROM events WHERE event_type = 'click'
+    """,
+)
+def intersect_all_multiset(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "click").select("user_id")
+    return a.intersectAll(b)
+
+
+@register(
     "union_event_kinds",
     """
     SELECT user_id, 'click' AS kind FROM events WHERE event_type = 'click'
