@@ -41,12 +41,21 @@ def _ckpt(out_dir: str) -> str:
 
 
 def _atomic_write(path: str, content: str) -> None:
-    """tmp + rename so no reader (or the replay guard) ever sees a
-    torn file — a crash mid-write leaves only an orphan tmp."""
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+    """tmp + fsync + rename + dir fsync: crash- AND power-loss-safe —
+    no reader (or the replay guard) ever sees a torn file, and the
+    rename can't outlive the data on journaled filesystems."""
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d)
     with os.fdopen(fd, "w") as f:
         f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    dfd = os.open(d, os.O_RDONLY)
+    try:
+        os.fsync(dfd)  # persist the rename itself
+    finally:
+        os.close(dfd)
 
 
 def load_snapshot(out_dir: str) -> dict | None:
@@ -84,10 +93,16 @@ def all_committed_run_ids(out_dir: str) -> set[str]:
         try:
             with open(path) as f:
                 runs.update(json.load(f).get("runs", []))
-        except (FileNotFoundError, json.JSONDecodeError):
-            # atomic snapshot writes mean a committed snapshot is always
-            # parseable; anything else here is manual tampering
-            continue
+        except (FileNotFoundError, json.JSONDecodeError) as e:
+            # fail LOUD: snapshots at or below LATEST are committed and
+            # written fsync+atomically, so a missing/torn one means the
+            # checkpoint store is corrupt — silently skipping it would
+            # let a replay overwrite data files that time travel still
+            # reads (the exact clobber this guard exists to prevent)
+            raise RuntimeError(
+                f"corrupt checkpoint: committed {path} is unreadable; "
+                "repair the _checkpoint dir before writing new runs"
+            ) from e
     return runs
 
 

@@ -33,6 +33,7 @@ from .operators.partitioning import salted_repartition
 from .operators.resume import (
     all_committed_run_ids,
     commit_run,
+    load_snapshot,
     pending,
     processed_urls,
 )
@@ -67,7 +68,25 @@ def run_pipeline(
     pages = filter_nonblank(pages)
 
     # Resume: drop urls already committed by a prior snapshot.
-    todo = pending(pages, processed_urls(spark, out_dir))
+    processed = processed_urls(spark, out_dir)
+    todo = pending(pages, processed)
+
+    # Nothing pending -> commit NOTHING. Without this, every scheduled
+    # resubmission appends an empty run dir + processed parquet +
+    # snapshot entry and rebuilds the manifest over the full input —
+    # manufacturing the small-files problem compact() exists to fix.
+    # (The isEmpty probe costs a limit-1 anti-join scan, no extraction;
+    # only paid when a prior snapshot exists.)
+    if processed is not None and todo.isEmpty():
+        return {
+            "run_id": run_id,
+            "snapshot": load_snapshot(out_dir),
+            "n_extracted_this_run": 0,
+            "extracted_path": None,
+            "manifest_path": None,
+            "lineage_path": None,
+            "skipped_empty_run": True,
+        }
 
     # O3: uniform fan-out for the expensive stage. File scans are
     # already byte-uniform (maxPartitionBytes), so by default the

@@ -364,7 +364,7 @@ _DUCK_DISTS = ", ".join(
 )
 
 
-_TRAINED_CENTROIDS: dict[str, list] = {}  # sf_dir -> centroids
+_TRAINED_CENTROIDS: dict[tuple, list] = {}  # (sf_dir, mtime) -> centroids
 
 
 @register("ann_ivf_trained_topk", None)  # iterative training: no SQL oracle
@@ -385,10 +385,14 @@ def ann_ivf_trained_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _spark_dvec(F.col("embedding")).alias("v")
     )
-    cents = _TRAINED_CENTROIDS.get(sf_dir)
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    key = (sf_dir, os.path.getmtime(path) if os.path.exists(path) else 0)
+    cents = _TRAINED_CENTROIDS.get(key)
     if cents is None:
         cents = kmeans_train(emb, k=_N_CELLS, iters=3)
-        _TRAINED_CENTROIDS[sf_dir] = cents
+        _TRAINED_CENTROIDS[key] = cents
     assigned = emb.withColumn("cell", ivf_cell_udf(cents)(F.col("v")))
     q = assigned.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),

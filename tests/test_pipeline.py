@@ -91,9 +91,19 @@ def test_rerun_is_stable_and_resume_skips_done(spark, pages, tmp_path):
     assert extracted.count() == n_all
     assert extracted.select("url").distinct().count() == n_all
 
-    # a third run with nothing new extracts nothing
+    # a third run with nothing new extracts nothing AND commits nothing:
+    # scheduled resubmissions must not grow the snapshot run list with
+    # empty run dirs (the small-files problem, manufactured)
+    snap_before = read_extracted(spark, out).select("run_id").distinct().count()
     info3 = run_pipeline(spark, pages, out, run_id="r3", num_partitions=4)
     assert info3["n_extracted_this_run"] == 0
+    assert info3.get("skipped_empty_run") is True
+    assert info3["snapshot"]["runs"] == ["r1", "r2"]
+    assert not os.path.exists(os.path.join(out, "extracted", "run_id=r3"))
+    assert (
+        read_extracted(spark, out).select("run_id").distinct().count()
+        == snap_before
+    )
 
 
 def test_crash_before_commit_invisible(spark, pages, tmp_path):

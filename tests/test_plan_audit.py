@@ -71,59 +71,67 @@ def test_anti_join_is_broadcast(spark):
 _FACT_MARKERS = ("l_orderkey", "o_orderkey", "c_custkey", "doc_id", "url")
 
 
-# nodes that reduce cardinality to model size: a broadcast hint over
-# one of these is fine no matter how big the relations underneath are
-# (e.g. scalar_subquery_max_order broadcasts a 1-row max() over orders)
-_REDUCING = (".Aggregate", ".GlobalLimit", ".Distinct", ".Deduplicate")
-
-
 def _hinted_leaf_columns(df) -> list[set[str]]:
-    """For each broadcast ResolvedHint in the analyzed plan, the column
+    """For each BROADCAST ResolvedHint in the analyzed plan, the column
     names of every leaf relation reachable WITHOUT passing through a
-    cardinality-reducing node — regardless of intervening Filter/
-    Project/SubqueryAlias nodes (a plain regex on the plan string only
-    matches hint-directly-on-relation and misses the realistic
-    regressions)."""
-    import json
+    genuinely cardinality-reducing node — regardless of intervening
+    Filter/Project/SubqueryAlias nodes (a plain regex on the plan
+    string only matches hint-directly-on-relation and misses the
+    realistic regressions). Walks the py4j tree because toJSON drops
+    the HintInfo, which is needed to ignore merge/shuffle_hash hints.
 
-    nodes = json.loads(df._jdf.queryExecution().analyzed().toJSON())
+    Reducing = GlobalLimit, or an Aggregate/Deduplicate whose
+    grouping keys avoid the fact markers (a distinct/groupBy ON a fact
+    key keeps fact cardinality and would OOM a broadcast just the
+    same)."""
 
-    def leaf_cols(i: int, cols: set[str]) -> int:
-        """Walk subtree at i collecting leaf columns; returns the
-        exclusive end index. Prunes reducing subtrees (still consuming
-        their indices)."""
-        n = nodes[i]
-        cls = n.get("class", "")
-        j = i + 1
-        for _ in range(n.get("num-children", 0)):
-            j = (
-                _skip(j)
-                if any(cls.endswith(s) for s in _REDUCING)
-                else leaf_cols(j, cols)
+    def simple(node) -> str:
+        return node.getClass().getSimpleName()
+
+    def is_reducing(node) -> bool:
+        cls = simple(node)
+        if cls == "GlobalLimit":
+            return True
+        if cls in ("Aggregate", "Deduplicate", "Distinct"):
+            keys = (
+                node.groupingExpressions().toString()
+                if cls == "Aggregate"
+                else node.keys().toString()
+                if cls == "Deduplicate"
+                else ""
             )
-        if cls.endswith((".LogicalRelation", ".LocalRelation")):
-            for attr_list in n.get("output") or []:
-                for attr in (
-                    attr_list if isinstance(attr_list, list) else [attr_list]
-                ):
-                    if isinstance(attr, dict) and "name" in attr:
-                        cols.add(attr["name"])
-        return j
+            return not any(m in keys for m in _FACT_MARKERS)
+        return False
 
-    def _skip(i: int) -> int:
-        need, j = 1, i
-        while need:
-            need += nodes[j].get("num-children", 0) - 1
-            j += 1
-        return j
+    def leaf_cols(node, cols: set[str]) -> None:
+        if is_reducing(node):
+            return
+        if simple(node) in ("LogicalRelation", "LocalRelation"):
+            out = node.output()
+            for i in range(out.size()):
+                cols.add(out.apply(i).name())
+        ch = node.children()
+        for i in range(ch.size()):
+            leaf_cols(ch.apply(i), cols)
 
-    out = []
-    for i, n in enumerate(nodes):
-        if n.get("class", "").endswith(".ResolvedHint"):
+    hinted: list[set[str]] = []
+
+    def visit(node) -> None:
+        if (
+            simple(node) == "ResolvedHint"
+            and "broadcast" in node.hints().toString().lower()
+        ):
             cols: set[str] = set()
-            leaf_cols(i, cols)
-            out.append(cols)
-    return out
+            ch = node.children()
+            for i in range(ch.size()):
+                leaf_cols(ch.apply(i), cols)
+            hinted.append(cols)
+        ch = node.children()
+        for i in range(ch.size()):
+            visit(ch.apply(i))
+
+    visit(df._jdf.queryExecution().analyzed())
+    return hinted
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
@@ -154,3 +162,19 @@ def test_hint_audit_actually_detects_filtered_fact_broadcast(spark):
     )
     hinted = _hinted_leaf_columns(df)
     assert any("c_custkey" in cols for cols in hinted)
+
+    # a broadcast over distinct/groupBy ON the fact key keeps fact
+    # cardinality — must also be flagged
+    keys = orders.select("o_orderkey").distinct()
+    df2 = orders.join(F.broadcast(keys), "o_orderkey")
+    assert any("o_orderkey" in cols for cols in _hinted_leaf_columns(df2))
+
+    # ...but a 1-row (or bounded-group) aggregate over facts is fine
+    mx = orders.agg(F.max("o_totalprice").alias("m"))
+    assert _hinted_leaf_columns(orders.join(F.broadcast(mx))) == [set()]
+
+    # non-broadcast strategy hints on facts are legitimate and ignored
+    df3 = orders.join(
+        orders.select("o_custkey", "o_orderkey").hint("merge"), "o_orderkey"
+    )
+    assert _hinted_leaf_columns(df3) == []
