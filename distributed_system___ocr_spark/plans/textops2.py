@@ -131,6 +131,82 @@ def redact_pii_text(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Gopher-style quality filters (public heuristics: Rae et al. 2021 —
+# duplicate-n-gram fraction, stopword fraction, symbol ratio)
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "that")
+_DUCK_SW = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+_DUCK_TOKENS2 = "list_filter(string_split(text, ' '), x -> x <> '')"
+_DUCK_BIGRAMS = f"""
+CASE WHEN len({_DUCK_TOKENS2}) >= 2 THEN
+  list_transform(generate_series(1, len({_DUCK_TOKENS2}) - 1),
+                 i -> {_DUCK_TOKENS2}[i] || ' ' || {_DUCK_TOKENS2}[i+1])
+ELSE [] END
+"""
+_SPARK_TOKENS2 = "filter(split(text, ' '), x -> x <> '')"
+_SPARK_BIGRAMS = f"""
+CASE WHEN size({_SPARK_TOKENS2}) >= 2 THEN
+  transform(sequence(1, size({_SPARK_TOKENS2}) - 1),
+            i -> concat(element_at({_SPARK_TOKENS2}, i), ' ',
+                        element_at({_SPARK_TOKENS2}, i + 1)))
+ELSE array() END
+"""
+
+
+@register(
+    "gopher_quality_filters",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKENS2} AS toks, {_DUCK_BIGRAMS} AS bg
+      FROM documents WHERE len({_DUCK_TOKENS2}) >= 2
+    )
+    SELECT doc_id,
+           round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+             AS dup_bigram_frac,
+           round(CAST(len(list_filter(toks,
+                            x -> list_contains({_DUCK_SW}, x))) AS DOUBLE)
+                 / len(toks), 6) AS stopword_frac,
+           round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                      AS DOUBLE) / length(text), 6) AS symbol_ratio,
+           (1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) <= 0.025
+            AND CAST(len(list_filter(toks,
+                            x -> list_contains({_DUCK_SW}, x))) AS DOUBLE)
+                / len(toks) <= 0.2) AS passes_gopher
+    FROM t
+    """,
+)
+def gopher_quality_filters(spark, sf_dir):
+    """Per-row built-ins only: at 10^12 docs this is a scan-stage
+    filter with zero shuffles. Thresholds are the public Gopher rules'
+    shape, with cut values tuned to the synthetic corpus's metric
+    distributions (dup-bigram median ~0.026) so BOTH branches of
+    passes_gopher occur at every test sf — a filter that never rejects
+    is not evidence (the embedding_near_dup lesson)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.expr(_SPARK_TOKENS2)
+    bg = F.expr(_SPARK_BIGRAMS)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    dup = 1.0 - F.size(F.array_distinct(bg)).cast("double") / F.size(bg)
+    swf = (
+        F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+        .cast("double") / F.size(toks)
+    )
+    sym = (
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double")
+        / F.length("text")
+    )
+    return d.filter(F.size(toks) >= 2).select(
+        "doc_id",
+        F.round(dup, 6).alias("dup_bigram_frac"),
+        F.round(swf, 6).alias("stopword_frac"),
+        F.round(sym, 6).alias("symbol_ratio"),
+        ((dup <= 0.025) & (swf <= 0.2)).alias("passes_gopher"),
+    )
+
+
+# --------------------------------------------------------------------------
 # two-phase salted aggregation (the skew-breaking agg pattern)
 # --------------------------------------------------------------------------
 

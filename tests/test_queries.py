@@ -43,3 +43,7 @@ def test_pair_producing_queries_are_nonempty(spark):
     ):
         n = REGISTRY[name]["builder"](spark, SF_DIR).count()
         assert n > 0, f"{name} produced 0 rows at {SF_DIR}"
+    # classifier-style gates must take BOTH branches
+    gq = REGISTRY["gopher_quality_filters"]["builder"](spark, SF_DIR)
+    kinds = {r["passes_gopher"] for r in gq.select("passes_gopher").distinct().collect()}
+    assert kinds == {True, False}
