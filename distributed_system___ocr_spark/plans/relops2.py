@@ -91,6 +91,54 @@ def q5_local_supplier_volume(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q14-style: promo revenue share (lineitem x part)
+# --------------------------------------------------------------------------
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(
+             100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END)
+             / SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,6)))
+           AS DOUBLE) AS promo_share,
+           count(*) AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """part scales with sf (200k rows/sf in TPC-H) — same class as
+    customer, so no static broadcast hint; AQE broadcasts it at
+    runtime when measured small. The conditional revenue split is one
+    partial-aggregated pass over the filtered lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        (
+            100.0
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev)
+                .otherwise(F.lit(0).cast("decimal(18,6)"))
+            )
+            / F.sum(rev)
+        ).cast("double").alias("promo_share"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+# --------------------------------------------------------------------------
 # range (interval) join: clicks within the hour before each purchase
 # --------------------------------------------------------------------------
 
