@@ -114,6 +114,62 @@ def extract_foreach_batch(
     return results
 
 
+def _stream_parquet(spark: SparkSession, path: str):
+    """readStream over a parquet path that may be a single FILE (the
+    testdata tables are one file each): file streams need a directory,
+    so glob-filter the parent."""
+    import os
+
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(path))
+            .parquet(os.path.dirname(path))
+        )
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    events_path: str,
+    static_dim: DataFrame,
+    table_name: str = "stream_enriched",
+) -> DataFrame:
+    """Stream-static join: each micro-batch of the events stream is
+    enriched against a STATIC dimension frame (re-read per batch by
+    Spark, broadcast when small — the standard enrichment shape; at
+    scale the dim side is a slowly-changing table the stream joins
+    without any stateful machinery). Watermark + dropDuplicates gives
+    at-least-once -> exactly-once dedup of redelivered event_ids, the
+    streaming twin of the snapshot layer's url dedup (O14)."""
+    from pyspark.sql import functions as F
+
+    stream = _stream_parquet(spark, events_path)
+    enriched = (
+        # parquet TIMESTAMP_NTZ -> TIMESTAMP: watermarks need an
+        # instant-typed event-time column
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .join(static_dim, "user_id", "left")
+    )
+    for q in spark.streams.active:
+        if q.name == table_name:
+            q.stop()
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(table_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(table_name)
+
+
 def stateful_user_counts_stream(
     spark: SparkSession, events_path: str, table_name: str = "stream_user_counts"
 ) -> DataFrame:
@@ -122,20 +178,10 @@ def stateful_user_counts_stream(
     across micro-batches (the streaming form of the manager's per-app
     counter maps, Manager.java:50-60 — but fault-tolerant state instead
     of heap maps)."""
-    import os
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    schema = spark.read.parquet(events_path).schema
-    if os.path.isfile(events_path):
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", os.path.basename(events_path))
-            .parquet(os.path.dirname(events_path))
-        )
-    else:
-        stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = _stream_parquet(spark, events_path)
 
     def update(key, pdfs, state: GroupState):
         n, last_ts = state.get if state.exists else (0, None)

@@ -112,6 +112,28 @@ def test_streaming_windowed_equals_batch(spark):
     assert a == b
 
 
+def test_stream_static_enrich_matches_batch_join(spark):
+    """Stream-static enrichment + event_id dedup must equal the batch
+    distinct-join (the file source delivers every event exactly once
+    here, so dedup is an identity — the semantics under test are the
+    join correctness and the dedup not LOSING rows)."""
+    from distributed_system___ocr_spark.streaming.stream import (
+        stream_static_enrich,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    ev = spark.read.parquet(path)
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("user_total"))
+    got = stream_static_enrich(spark, path, dim, "sse_test")
+    batch = ev.dropDuplicates(["event_id"]).join(dim, "user_id", "left")
+    assert got.count() == batch.count()
+    a = {(r["event_id"], r["user_total"])
+         for r in got.select("event_id", "user_total").collect()}
+    b = {(r["event_id"], r["user_total"])
+         for r in batch.select("event_id", "user_total").collect()}
+    assert a == b
+
+
 def test_stateful_stream_counts_match_batch(spark):
     from distributed_system___ocr_spark.streaming.stream import (
         stateful_user_counts_stream,
