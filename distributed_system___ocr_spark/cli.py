@@ -1,10 +1,12 @@
-"""spark-submit entry point (BASELINE.json north_rule: "launched via
-spark-submit --py-files").
+"""CLI behind the spark-submit entry point (BASELINE.json north_rule:
+"launched via spark-submit --py-files").
 
-Usage (local or cluster — master comes from spark-submit / env):
+Usage (local or cluster — master comes from spark-submit / env;
+spark-submit takes a SCRIPT, so pass the repo-root ``submit.py`` shim,
+which imports this module absolutely):
 
-    spark-submit --py-files dist/engine.zip \\
-        -m distributed_system___ocr_spark.cli \\
+    zip -r engine.zip distributed_system___ocr_spark
+    spark-submit --py-files engine.zip submit.py \\
         --input  /path/to/pages_parquet \\
         --output /path/to/out_dir \\
         --run-id run-2026-08-16-a \\
