@@ -173,14 +173,17 @@ ELSE array() END
            (1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) <= 0.025
             AND CAST(len(list_filter(toks,
                             x -> list_contains({_DUCK_SW}, x))) AS DOUBLE)
-                / len(toks) <= 0.2) AS passes_gopher
+                / len(toks) >= 0.02) AS passes_gopher
     FROM t
     """,
 )
 def gopher_quality_filters(spark, sf_dir):
     """Per-row built-ins only: at 10^12 docs this is a scan-stage
-    filter with zero shuffles. Thresholds are the public Gopher rules'
-    shape, with cut values tuned to the synthetic corpus's metric
+    filter with zero shuffles. Rule directions follow Gopher (Rae et
+    al. 2021): reject REPETITIVE docs (high duplicate-bigram fraction)
+    and reject stopword-POOR docs (stopword presence signals natural
+    language — the rule keeps docs with ENOUGH stopwords, not few).
+    Cut values are tuned to the synthetic corpus's metric
     distributions (dup-bigram median ~0.026) so BOTH branches of
     passes_gopher occur at every test sf — a filter that never rejects
     is not evidence (the embedding_near_dup lesson)."""
@@ -202,7 +205,7 @@ def gopher_quality_filters(spark, sf_dir):
         F.round(dup, 6).alias("dup_bigram_frac"),
         F.round(swf, 6).alias("stopword_frac"),
         F.round(sym, 6).alias("symbol_ratio"),
-        ((dup <= 0.025) & (swf <= 0.2)).alias("passes_gopher"),
+        ((dup <= 0.025) & (swf >= 0.02)).alias("passes_gopher"),
     )
 
 

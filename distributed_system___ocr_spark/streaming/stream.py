@@ -31,21 +31,7 @@ def windowed_event_counts_stream(
     (no wall clock), complete mode emits the full final state —
     so the result equals the batch aggregation (same oracle SQL).
     """
-    import os
-
-    schema = spark.read.parquet(events_path).schema
-    # the file-stream source needs a directory: stream the parent dir
-    # filtered to this one file (works for single-file test tables and
-    # unchanged for a real directory-of-parts table)
-    if os.path.isfile(events_path):
-        reader = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", os.path.basename(events_path))
-            .parquet(os.path.dirname(events_path))
-        )
-    else:
-        reader = spark.readStream.schema(schema).parquet(events_path)
-    stream = reader
+    stream = _stream_parquet(spark, events_path)
     agg = (
         stream.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
@@ -140,18 +126,19 @@ def stream_static_enrich(
     enriched against a STATIC dimension frame (re-read per batch by
     Spark, broadcast when small — the standard enrichment shape; at
     scale the dim side is a slowly-changing table the stream joins
-    without any stateful machinery). Watermark + dropDuplicates gives
-    at-least-once -> exactly-once dedup of redelivered event_ids, the
-    streaming twin of the snapshot layer's url dedup (O14)."""
-    from pyspark.sql import functions as F
-
+    without any stateful machinery). Watermark +
+    dropDuplicatesWithinWatermark gives at-least-once -> exactly-once
+    dedup of redelivered event_ids with BOUNDED state — plain
+    dropDuplicates without the event-time key keeps every event_id
+    ever seen and OOMs a long-running stream. The streaming twin of
+    the snapshot layer's url dedup (O14)."""
     stream = _stream_parquet(spark, events_path)
     enriched = (
         # parquet TIMESTAMP_NTZ -> TIMESTAMP: watermarks need an
         # instant-typed event-time column
         stream.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .join(static_dim, "user_id", "left")
     )
     for q in spark.streams.active:
