@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -119,9 +120,24 @@ def main(argv: list[str] | None = None) -> int:
         from .pipeline import read_extracted
         from .report import write_report
 
-        manifest = spark.read.parquet(info["manifest_path"])
-        write_report(manifest, read_extracted(spark, args.output), args.report)
-        info["report_path"] = args.report
+        manifest_path = info.get("manifest_path")
+        if manifest_path is None:
+            # skip-empty resubmission: run_pipeline committed nothing and
+            # returned manifest_path=None; the manifest from the prior
+            # committed run persists at out_dir/manifest — render from it
+            # rather than crashing on spark.read.parquet(None).
+            prior = os.path.join(args.output, "manifest")
+            if os.path.isdir(prior):
+                manifest_path = prior
+        if manifest_path is not None:
+            manifest = spark.read.parquet(manifest_path)
+            write_report(
+                manifest, read_extracted(spark, args.output), args.report
+            )
+            info["report_path"] = args.report
+        else:
+            info["report_path"] = None
+            info["report_skipped"] = "no manifest exists yet for this out dir"
 
     print(json.dumps(info))
     spark.stop()

@@ -43,6 +43,18 @@ def submit_jobs(
     """
     from .pipeline import run_pipeline
 
+    app_ids = [j["app_id"] for j in jobs]
+    dupes = sorted({a for a in app_ids if app_ids.count(a) > 1})
+    if dupes:
+        # Two concurrent runs of the same tenant would race on the same
+        # base_dir/<app_id> snapshot dir: both read the same snapshot n
+        # from load_snapshot and one commit silently vanishes from
+        # LATEST (single-writer assumption in operators/resume.py).
+        raise ValueError(
+            f"duplicate app_id(s) in one submission: {dupes}; "
+            "submit same-tenant jobs sequentially"
+        )
+
     def run_one(job: dict) -> dict:
         app_id = job["app_id"]
         out = os.path.join(base_dir, app_id)

@@ -97,14 +97,14 @@ def q5_local_supplier_volume(spark, sf_dir):
 @register(
     "q14_promo_revenue",
     """
-    SELECT CAST(
+    SELECT round(CAST(
              100.0 * SUM(CASE WHEN p_type = 'PROMO'
                   THEN CAST(l_extendedprice * (1 - l_discount)
                             AS DECIMAL(18,6))
                   ELSE CAST(0 AS DECIMAL(18,6)) END)
              / SUM(CAST(l_extendedprice * (1 - l_discount)
                         AS DECIMAL(18,6)))
-           AS DOUBLE) AS promo_share,
+           AS DOUBLE), 6) AS promo_share,
            count(*) AS n_lineitems
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -126,14 +126,17 @@ def q14_promo_revenue(spark, sf_dir):
     )
     joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     return joined.agg(
-        (
-            100.0
-            * F.sum(
-                F.when(F.col("p_type") == "PROMO", rev)
-                .otherwise(F.lit(0).cast("decimal(18,6)"))
-            )
-            / F.sum(rev)
-        ).cast("double").alias("promo_share"),
+        F.round(
+            (
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev)
+                    .otherwise(F.lit(0).cast("decimal(18,6)"))
+                )
+                / F.sum(rev)
+            ).cast("double"),
+            6,
+        ).alias("promo_share"),
         F.count("*").alias("n_lineitems"),
     )
 

@@ -40,6 +40,20 @@ def test_cli_run_and_resume(tmp_path):
     )
     assert info2["n_extracted_this_run"] == 0  # full resume, zero re-done
 
+    # scheduled-resubmission scenario WITH --report: the skip-empty
+    # path returns manifest_path=None; the report must render from the
+    # prior run's persisted manifest instead of crashing on
+    # spark.read.parquet(None)
+    report3 = str(tmp_path / "report3.html")
+    info3 = _run_cli(
+        "--synthetic", "300", "--output", out_dir, "--run-id", "c3",
+        "--report", report3, "--seed", "7",
+    )
+    assert info3.get("skipped_empty_run") is True
+    assert info3["report_path"] == report3
+    with open(report3) as f:
+        assert f.read().startswith("<html>\n<title>OCR</title>")
+
 
 def test_spark_submit_pyfiles_launch(tmp_path):
     """The north_rule's launch contract, run for real: package the

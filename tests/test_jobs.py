@@ -64,6 +64,26 @@ def test_failed_job_responds_without_affecting_siblings(spark, pages, tmp_path):
     assert read_extracted(spark, os.path.join(base, "t1")).count() > 0
 
 
+def test_duplicate_app_ids_in_one_submission_rejected(spark, pages, tmp_path):
+    """Two concurrent runs of one tenant would race the single-writer
+    snapshot in operators/resume.py (both read the same snapshot n; one
+    commit silently drops from LATEST) — reject before dispatch."""
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate app_id"):
+        submit_jobs(
+            spark,
+            [
+                {"app_id": "t1", "pages": pages.limit(10)},
+                {"app_id": "t1", "pages": pages.limit(10)},
+            ],
+            str(tmp_path / "tenants"),
+            max_parallel=2,
+        )
+    # nothing was dispatched: no tenant dir was created
+    assert not os.path.exists(str(tmp_path / "tenants" / "t1"))
+
+
 def test_resubmission_without_run_id_resumes(spark, pages, tmp_path):
     """Default run_id is a fresh id per submission, so resubmitting a
     tenant's job resumes (0 reprocessed) instead of tripping the
