@@ -16,8 +16,10 @@ Shape knobs mirror the reference input's properties:
   dup urls present in reference inputs/short_input.txt)
 - Zipf-skewed hosts (~20 domains, one hot) to exercise salted
   repartitioning (BASELINE.json north_rule)
-- ~5% PDF payloads, ~2% corrupt/truncated bytes (error channel,
-  Worker.java:86-98 analogue)
+- ~5% PDF payloads (mixing plain/hex Tj and multi-kern TJ encodings
+  that must extract to IDENTICAL text, plus ~6% CID/Identity-H docs
+  rejected into the error channel), ~2% corrupt/truncated bytes
+  (error channel, Worker.java:86-98 analogue)
 """
 
 from __future__ import annotations
@@ -98,12 +100,45 @@ def _html_payload(r: random.Random) -> bytes:
 
 
 def _pdf_payload(r: random.Random) -> bytes:
+    """PDF payload covering the extractor's operator surface: simple
+    ``(s) Tj``, hex-string ``<...> Tj``, multi-kern ``[ (w) -120 ... ]
+    TJ`` arrays, and (rarely) a CID/Identity-H composite-font document
+    that the extractor must REJECT into the error channel rather than
+    decode as garbage."""
     lines = [_sentence(r, 5, 12) for _ in range(r.randint(2, 6))]
-    ops = b"".join(
-        b"BT /F1 12 Tf 72 %d Td (%s) Tj ET\n"
-        % (700 - 20 * k, ln.replace("(", "").replace(")", "").encode("latin-1"))
-        for k, ln in enumerate(lines)
-    )
+    form = r.random()
+    if form < 0.06:  # composite-font document: rejected, status=error
+        body = zlib.compress(b"BT <00480045> Tj ET\n")
+        return (
+            b"%PDF-1.4\n1 0 obj << /Type /Font /Subtype /Type0 "
+            b"/Encoding /Identity-H >>\nendobj\n2 0 obj << /Length "
+            + str(len(body)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n"
+            + body
+            + b"endstream\nendobj\ntrailer\n%%EOF\n"
+        )
+    ops = b""
+    for k, ln in enumerate(lines):
+        y = 700 - 20 * k
+        clean = ln.replace("(", "").replace(")", "").encode("latin-1")
+        pick = r.random()
+        if pick < 0.5:  # plain string show
+            ops += b"BT /F1 12 Tf 72 %d Td (%s) Tj ET\n" % (y, clean)
+        elif pick < 0.75:  # hex string show (mixed-case digits + ws)
+            hx = clean.hex().encode("ascii")
+            if r.random() < 0.5:
+                hx = hx.upper()
+            mid = len(hx) // 2
+            hx = hx[:mid] + b"\n" + hx[mid:]  # whitespace inside hex
+            ops += b"BT /F1 12 Tf 72 %d Td <%s> Tj ET\n" % (y, hx)
+        else:  # TJ array: words interleaved with kern adjustments
+            words = clean.split(b" ")
+            arr = b" ".join(
+                b"(%s%s) %d" % (w, b"" if j == len(words) - 1 else b" ",
+                                r.randint(-250, 250))
+                for j, w in enumerate(words)
+            )
+            ops += b"BT /F1 12 Tf 72 %d Td [%s] TJ ET\n" % (y, arr)
     stream = zlib.compress(ops)
     return (
         b"%PDF-1.4\n1 0 obj << /Length "

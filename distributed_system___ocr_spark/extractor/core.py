@@ -17,7 +17,7 @@ from dataclasses import dataclass
 from .html_extract import extract_html
 from .pdf_extract import extract_pdf
 
-EXTRACTOR_VERSION = "1"
+EXTRACTOR_VERSION = "2"
 
 STATUS_OK = "ok"
 STATUS_OK_PDF = "ok_pdf"

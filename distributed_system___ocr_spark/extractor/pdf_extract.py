@@ -16,6 +16,19 @@ from __future__ import annotations
 import re
 import zlib
 
+
+class UnsupportedPdfEncodingError(ValueError):
+    """Composite-font (Type0/CID) PDFs: text-show strings hold 2-byte
+    CIDs that only a CMap can decode — byte-level latin-1 decoding
+    would emit garbage, so these are REJECTED into the error channel
+    (status=error) instead. Partial-fidelity contract: a false-positive
+    rejection of a mixed simple/CID document is safer than silently
+    corrupting its text."""
+
+
+# Composite-font markers: /Type0 fonts and the Identity CMaps they use.
+_CID_RE = re.compile(rb"/Type0\b|/Identity-H\b|/Identity-V\b")
+
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 # (string) Tj | (string) ' | (string) "  — single text-show ops
 _TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|'|\")")
@@ -90,7 +103,15 @@ def _text_ops(content: bytes) -> list[str]:
 
 def extract_pdf(payload: bytes) -> tuple[str, list[tuple[int, int, str]]]:
     """PDF bytes -> (text, spans). Spans: one per text object (kind
-    'pdf'). Returns ("", []) when no text operators are found."""
+    'pdf'). Returns ("", []) when no text operators are found; raises
+    UnsupportedPdfEncodingError for CID/Type0 composite fonts (the
+    caller's error channel turns it into a status=error row)."""
+    if _CID_RE.search(payload):
+        raise UnsupportedPdfEncodingError(
+            "composite-font PDF (Type0/CID, Identity CMap): string "
+            "bytes are CIDs, not characters; rejecting instead of "
+            "emitting garbage"
+        )
     lines: list[str] = []
     for m in _STREAM_RE.finditer(payload):
         raw = m.group(1)

@@ -1,0 +1,116 @@
+"""MinHash signatures + LSH band values as a per-doc vectorized
+kernel — the SCALE path for near-dup candidate generation.
+
+The oracle-gated registry query (``plans/textops.py dedup_minhash_lsh``)
+keeps the explode-every-shingle + md5-string formulation because DuckDB
+must reproduce it bit-for-bit; that shape inflates each document into
+``n_shingles x n_hashes`` rows, which is correctness evidence, not a
+10^12-doc plan. This kernel computes the same FAMILY of signature
+(min over per-shingle affine hashes) in one Arrow-batched pass:
+
+- tokens: whitespace split, empties dropped (same as the oracle op);
+- shingles: word trigrams, but hashed ARITHMETICALLY from the three
+  token hashes (no shingle string is ever materialized);
+- token hash: pandas' vectorized 64-bit string hash (deterministic:
+  fixed default hash_key, no per-process salt);
+- signature_j = min over shingles of (a_j * s + b_j mod 2^64), with
+  (a_j, b_j) fixed splitmix64-derived constants (no runtime RNG);
+- band value b = mix(sig_{2b}, sig_{2b+1}) — one int64 per band.
+
+Exact-duplicate texts get identical signatures, hence identical band
+values in every band (recall 1.0 on exact dups, pinned in tests).
+Cost per batch: O(total_tokens) string hashing + O(total_shingles x
+n_hashes) integer ops, all numpy — no Python loop over shingles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+K = 3  # shingle width in tokens (matches the oracle op's trigrams)
+# (128, 16x8) is the standard web-dedup parameterization: band
+# collision probability 1-(1-j^8)^16 — ~0.75 jaccard threshold. The
+# oracle op's tiny (8, 4x2) exists only so DuckDB can replay it; at
+# corpus scale it admits j~0.2 pairs and bucket sizes explode
+# quadratically (measured: 15.7M candidate pairs over 1M template-y
+# docs at (16, 8x2) vs ~linear growth here).
+N_HASHES = 128
+BAND_SIZE = 8  # 16 bands x 8 rows
+
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
+# fixed affine constants: a_j odd (bijective mod 2^64), b_j arbitrary
+_A = np.array(
+    [_splitmix64(2 * j + 1) | 1 for j in range(N_HASHES)], dtype=np.uint64
+)
+_B = np.array(
+    [_splitmix64(2 * j + 2) for j in range(N_HASHES)], dtype=np.uint64
+)
+# shingle mix multipliers (three positions must not commute)
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_C3 = np.uint64(0x165667B19E3779F9)
+_BANDMIX = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def minhash_signatures(texts: "pd.Series | list[str]") -> list[np.ndarray]:
+    """Per-doc uint64 signature vectors (length N_HASHES); empty array
+    for docs with fewer than K tokens."""
+    tok_lists = [t.split() if t else [] for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                         count=len(tok_lists))
+    total = int(counts.sum())
+    out: list[np.ndarray] = [np.empty(0, dtype=np.uint64)] * len(tok_lists)
+    if total == 0:
+        return out
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for toks in tok_lists:
+        flat[pos : pos + len(toks)] = toks
+        pos += len(toks)
+    th = pd.util.hash_array(flat).astype(np.uint64)  # vectorized, stable key
+
+    # shingle hashes on the flat array; positions crossing a doc
+    # boundary are invalidated below
+    if total < K:
+        return out
+    s_all = (
+        th[: total - K + 1] * _C1
+        ^ th[1 : total - K + 2] * _C2
+        ^ th[2:] * _C3
+    )
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    for d in range(len(tok_lists)):
+        n = counts[d]
+        if n < K:
+            continue
+        seg = s_all[offsets[d] : offsets[d] + n - K + 1]
+        # (n_shingles, N_HASHES) affine transforms, min per column
+        v = seg[:, None] * _A[None, :] + _B[None, :]
+        out[d] = v.min(axis=0)
+    return out
+
+
+def minhash_band_values(texts: "pd.Series | list[str]") -> list[list[int]]:
+    """Per-doc LSH band values as int64 (N_HASHES // BAND_SIZE of them);
+    empty list for docs with no shingles."""
+    res = []
+    for sig in minhash_signatures(texts):
+        if sig.shape[0] == 0:
+            res.append([])
+            continue
+        pairs = sig.reshape(-1, BAND_SIZE)
+        val = pairs[:, 0] * _BANDMIX
+        for c in range(1, BAND_SIZE):
+            val = (val ^ pairs[:, c]) * _BANDMIX
+        res.append(val.astype(np.int64).tolist())
+    return res

@@ -98,6 +98,33 @@ class IcebergCatalog:
         return f"{self.catalog}.{table}@{run_id}"
 
 
+def register_jdbc_v2_catalog(
+    spark: SparkSession, name: str, url: str | None = None
+) -> None:
+    """Register a REAL DataSourceV2 TableCatalog this container can
+    execute: Spark's JDBCTableCatalog over the bundled in-memory Derby.
+
+    This exists so the ``IcebergCatalog`` adapter's code paths
+    (catalog-prefixed ``read.table``, ``writeTo(...).createOrReplace``,
+    ``writeTo(...).append``) run in CI against a genuine v2 catalog —
+    the Iceberg runtime jar itself is absent here, but the adapter only
+    uses the TableCatalog surface, which is identical. On a cluster,
+    point the same config keys at iceberg-spark-runtime instead."""
+    spark.conf.set(
+        f"spark.sql.catalog.{name}",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc"
+        ".JDBCTableCatalog",
+    )
+    spark.conf.set(
+        f"spark.sql.catalog.{name}.url",
+        url or f"jdbc:derby:memory:{name};create=true",
+    )
+    spark.conf.set(
+        f"spark.sql.catalog.{name}.driver",
+        "org.apache.derby.jdbc.EmbeddedDriver",
+    )
+
+
 def default_catalog(spark: SparkSession, root: str):
     """IcebergCatalog when the runtime is present, parquet otherwise.
 

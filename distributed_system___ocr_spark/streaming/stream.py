@@ -60,6 +60,59 @@ def windowed_event_counts_stream(
     return spark.table(table_name)
 
 
+def windowed_event_counts_append_stream(
+    spark: SparkSession,
+    events_path: str,
+    delay: str = "10 minutes",
+    table_name: str = "stream_win_counts_append",
+    source_options: dict | None = None,
+) -> DataFrame:
+    """The SCALE form of the windowed aggregation: append mode after a
+    watermark, so state is bounded and each window is emitted exactly
+    once when the watermark passes its end — complete mode re-emits the
+    whole result table every micro-batch, which is unusable on an
+    unbounded stream (round-2 verdict item 5).
+
+    Emitted set == the batch aggregation restricted to windows whose
+    end <= max(event_ts) - delay (the final watermark): that predicate
+    IS append-mode semantics, so the oracle encodes it verbatim. Rows
+    later than the watermark are dropped by the stateful operator —
+    pinned by tests/test_properties.py late-row test. Deterministic
+    here because the bounded source arrives in one micro-batch and the
+    trailing no-data micro-batch advances the watermark to final."""
+    stream = _stream_parquet(spark, events_path, source_options)
+    agg = (
+        # parquet TIMESTAMP_NTZ -> TIMESTAMP: watermarks need an
+        # instant-typed event-time column
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+    for q in spark.streams.active:
+        if q.name == table_name:
+            q.stop()
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(table_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(table_name)
+
+
 def extract_foreach_batch(
     spark: SparkSession,
     pages_path: str,
@@ -100,20 +153,22 @@ def extract_foreach_batch(
     return results
 
 
-def _stream_parquet(spark: SparkSession, path: str):
+def _stream_parquet(spark: SparkSession, path: str, options: dict | None = None):
     """readStream over a parquet path that may be a single FILE (the
     testdata tables are one file each): file streams need a directory,
-    so glob-filter the parent."""
+    so glob-filter the parent. ``options`` go to the reader (e.g.
+    maxFilesPerTrigger to force multi-batch arrival in tests)."""
     import os
 
     schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     if os.path.isfile(path):
-        return (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", os.path.basename(path))
-            .parquet(os.path.dirname(path))
-        )
-    return spark.readStream.schema(schema).parquet(path)
+        return reader.option(
+            "pathGlobFilter", os.path.basename(path)
+        ).parquet(os.path.dirname(path))
+    return reader.parquet(path)
 
 
 def stream_static_enrich(

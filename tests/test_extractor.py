@@ -171,6 +171,45 @@ def test_pdf_hex_strings_and_quote_ops():
     assert "world" in text
 
 
+def test_pdf_multikern_tj_array_and_whitespace_hex():
+    """Multi-kern TJ arrays (every string followed by a kern number,
+    negative and positive) and hex strings broken by whitespace — the
+    corpus's generated forms, pinned at the unit level too."""
+    ops = (
+        b"BT [ (alpha ) -250 (beta ) 40 (gamma) 120 ] TJ ET\n"
+        b"BT <4865\n6C6c6F> Tj ET\n"  # ws inside + mixed-case digits
+        b"BT <3132333> Tj ET\n"       # odd digit count: padded with 0
+    )
+    pdf = b"%PDF-1.4\nstream\n" + ops + b"endstream\n%%EOF"
+    text, spans = extract_pdf(pdf)
+    assert "alpha beta gamma" in text
+    assert "Hello" in text
+    assert "1230" in text  # "313233" + spec's odd-digit zero-pad = "30"
+    assert len(spans) == 3  # one per BT..ET object
+
+
+def test_pdf_cid_font_rejected_to_error_channel():
+    """Composite-font (Type0/Identity-H) PDFs must become status=error
+    rows, never garbage text (round-2 verdict item 6)."""
+    body = zlib.compress(b"BT <00480045> Tj ET\n")
+    pdf = (
+        b"%PDF-1.4\n1 0 obj << /Type /Font /Subtype /Type0 "
+        b"/Encoding /Identity-H >>\nendobj\n2 0 obj << /Filter "
+        b"/FlateDecode >>\nstream\n" + body + b"endstream\n%%EOF"
+    )
+    res = extract_payload(pdf)
+    assert res.status == STATUS_ERROR
+    assert res.text == ""
+    assert "Type0" in res.error or "CID" in res.error
+
+    from distributed_system___ocr_spark.extractor.pdf_extract import (
+        UnsupportedPdfEncodingError,
+    )
+
+    with pytest.raises(UnsupportedPdfEncodingError):
+        extract_pdf(pdf)
+
+
 def test_utf16_bom_payload():
     payload = "<p>utf sixteen content long enough to keep here ok</p>".encode(
         "utf-16"

@@ -54,7 +54,7 @@ def test_pure_python_agrees_with_spark_stage():
 
 
 GOLDEN_5K_DIGEST = (
-    "bcb3862e21578568ea76b2ff819afa48aba1b4f0ee539a36c10e75f86be5cc76"
+    "07e29ff0362e8e2e5e73075a81333fc3e190266cd4c79dae2a79068ba831c364"
 )
 GOLDEN_5K_URLS = 4764
 
@@ -72,7 +72,7 @@ def test_5k_corpus_aggregate_digest():
         EXTRACTOR_VERSION,
     )
 
-    assert EXTRACTOR_VERSION == "1"
+    assert EXTRACTOR_VERSION == "2"
     h = hashlib.sha256()
     seen = {}
     for i in range(5000):

@@ -112,6 +112,69 @@ def test_streaming_windowed_equals_batch(spark):
     assert a == b
 
 
+def test_streaming_append_drops_post_watermark_late_rows(spark, tmp_path):
+    """Append-mode + watermark is the bounded-state scale form: once
+    the watermark passes a window's end the window is emitted exactly
+    once and a LATER-arriving row for it must be dropped, not
+    re-aggregated. Three files forced into three ordered micro-batches:
+    batch A advances event time past the 12:00 window; batch B lets the
+    watermark take effect and emits the finalized window (Spark's
+    late-data filter lags eviction by one batch); batch C delivers a
+    late 12:02 row, which must be dropped — the emitted count stays 2
+    and append mode never re-emits the window."""
+    import time
+
+    from distributed_system___ocr_spark.streaming.stream import (
+        windowed_event_counts_append_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+
+    def _write(rows):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            in_dir
+        )
+
+    t = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def at(mins, secs=0):
+        return t + dt.timedelta(minutes=mins, seconds=secs)
+
+    # batch A: two rows in [12:00,12:05), one at 12:30 -> watermark
+    # after A = 12:30 - 10min = 12:20 > 12:05 (window finalizable)
+    _write([(1, at(0, 1), 1, "click", 1.0, None),
+            (2, at(4), 1, "click", 1.0, None),
+            (3, at(30), 1, "click", 1.0, None)])
+    time.sleep(1.1)  # distinct mtime: file source processes oldest first
+    # batch B: fresh row only — runs with watermark 12:20, evicting and
+    # EMITTING the [12:00,12:05) window with n=2
+    _write([(5, at(31), 1, "click", 1.0, None)])
+    time.sleep(1.1)
+    # batch C: a LATE row for the already-emitted window (must be
+    # dropped by the in-force watermark) + a fresh row
+    _write([(4, at(2), 1, "click", 1.0, None),
+            (6, at(32), 1, "click", 1.0, None)])
+
+    got = windowed_event_counts_append_stream(
+        spark, in_dir, table_name="late_drop_test",
+        source_options={"maxFilesPerTrigger": 1},
+    )
+    emitted = [(r["window_start"].replace(tzinfo=None), r["n"])
+               for r in got.select("window_start", "n").collect()]
+    # exactly one finalized window (final watermark 12:22 < the 12:30+
+    # window ends), emitted once, counting ONLY the two on-time rows —
+    # the late event_id=4 neither bumps the count nor re-emits
+    assert emitted == [(at(0), 2)]
+    # a batch aggregation over the same files WOULD count the late row
+    batch_n = spark.read.parquet(in_dir).filter(F.col("ts") < at(5)).count()
+    assert batch_n == 3  # 2 on-time + 1 late
+
+
 def test_stream_static_enrich_matches_batch_join(spark):
     """Stream-static enrichment + event_id dedup must equal the batch
     distinct-join (the file source delivers every event exactly once
