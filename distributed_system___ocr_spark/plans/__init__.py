@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     streamops,
     textops,
     textops2,
+    textops3,
     vectorops,
 )
 

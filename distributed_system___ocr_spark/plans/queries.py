@@ -331,9 +331,7 @@ def region_rollup(spark, sf_dir):
 # sessionization (lag + gap cumsum)
 # --------------------------------------------------------------------------
 
-@register(
-    "sessionize_events",
-    """
+_SESSIONIZE_SQL = """
     SELECT user_id,
            CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
            count(*) AS n_events
@@ -351,8 +349,10 @@ def region_rollup(spark, sf_dir):
         FROM events
       )
     ) GROUP BY user_id
-    """,
-)
+    """
+
+
+@register("sessionize_events", _SESSIONIZE_SQL)
 def sessionize_events(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = _t(spark, sf_dir, "events")
@@ -371,6 +371,59 @@ def sessionize_events(spark, sf_dir):
     return with_sess.groupBy("user_id").agg(
         F.countDistinct("session_id").cast("long").alias("n_sessions"),
         F.count("*").alias("n_events"),
+    )
+
+
+_SESS_GAP_US = 30 * 60 * 1_000_000
+_SESS_BUCKET_US = 24 * 3600 * 1_000_000  # 1 day >> the 30-min gap
+
+
+@register("sessionize_events_salted", _SESSIONIZE_SQL)
+def sessionize_events_salted(spark, sf_dir):
+    """Skew-hardened sessionization: identical result to
+    ``sessionize_events`` (same oracle), different physical shape. The
+    plain form windows over user_id, so ONE pathologically hot user
+    (50% of 10^12 events) lands in one task. Here the window is over
+    (user_id, time-bucket): sessions are counted locally per bucket,
+    then adjacent non-empty buckets are merged when the boundary gap
+    is within the session gap — a per-(user,bucket) row window, tiny.
+    Exact for ANY bucket size: a user's next event after a bucket's
+    last is always the next non-empty bucket's first, and boundary
+    comparisons use real timestamps, so empty buckets need no special
+    case. Hot-key fixture equality is pinned in
+    tests/test_scale_properties.py."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bucketed = ev.select(
+        "user_id", "ts", "event_id", us.alias("us"),
+        F.floor(us / _SESS_BUCKET_US).alias("bucket"),
+    )
+    w_local = Window.partitionBy("user_id", "bucket").orderBy(
+        "ts", "event_id"
+    )
+    gap = F.col("us") - F.lag("us").over(w_local)
+    local = bucketed.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > _SESS_GAP_US), 1).otherwise(0),
+    )
+    per_bucket = local.groupBy("user_id", "bucket").agg(
+        F.sum("new_sess").alias("n_sess_local"),
+        F.count("*").alias("n_events"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+    )
+    w_user = Window.partitionBy("user_id").orderBy("bucket")
+    boundary_gap = F.col("first_us") - F.lag("last_us").over(w_user)
+    merged = per_bucket.withColumn(
+        "merge",
+        F.when(
+            boundary_gap.isNotNull() & (boundary_gap <= _SESS_GAP_US), 1
+        ).otherwise(0),
+    )
+    return merged.groupBy("user_id").agg(
+        (F.sum("n_sess_local") - F.sum("merge"))
+        .cast("long").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
     )
 
 

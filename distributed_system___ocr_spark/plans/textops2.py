@@ -237,6 +237,33 @@ def gopher_quality_filters(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# scale-path MinHash-LSH near-dup candidates (rows-only registry entry)
+# --------------------------------------------------------------------------
+
+_CLONE_OFFSET = 10_000_000
+
+
+@register("dedup_minhash_scale", None)  # sql=None: the vectorized
+# pandas string hash (functions/minhash.py) has no DuckDB twin; the
+# operator is pinned by tests/test_neardup.py (naive-reference
+# equality, determinism, exact-dup recall) per the repo convention for
+# non-SQL-expressible ops.
+def dedup_minhash_scale(spark, sf_dir):
+    """The 10^12-doc execution shape of dedup_minhash_lsh: Arrow-kernel
+    signatures (128 hashes, one pass, zero row inflation) + 16-band
+    equi-join. Every 20th doc is re-injected as a clone so the pair
+    gate provably fires at every sf (a 0-row near-dup gate is not
+    evidence)."""
+    from ..operators.neardup import minhash_lsh_pairs_scale
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + _CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    return minhash_lsh_pairs_scale(d.unionByName(clones))
+
+
+# --------------------------------------------------------------------------
 # two-phase salted aggregation (the skew-breaking agg pattern)
 # --------------------------------------------------------------------------
 

@@ -135,3 +135,30 @@ def test_corpus_pairs_superset_of_exact_dups(spark, pages):
     }
     missing = want - pairs
     assert not missing, f"{len(missing)}/{len(want)} exact-dup pairs missed"
+
+
+def test_registry_scale_query_recalls_all_clones(spark):
+    """The rows-only registry entry (dedup_minhash_scale) must recall
+    every injected clone pair and be deterministic across runs (the
+    driver's weaker rows-only check needs a stable count)."""
+    from distributed_system___ocr_spark.plans.textops2 import (
+        _CLONE_OFFSET,
+        dedup_minhash_scale,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r["a_id"], r["b_id"])
+           for r in dedup_minhash_scale(spark, sf).collect()}
+    again = {(r["a_id"], r["b_id"])
+             for r in dedup_minhash_scale(spark, sf).collect()}
+    assert got == again
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    clone_ids = [r["doc_id"] for r in docs.filter(
+        (F.col("doc_id") % 20 == 0) & (F.length("text") > 0)
+    ).select("doc_id").collect()]
+    assert len(clone_ids) > 5
+    want = {(i, i + _CLONE_OFFSET) for i in clone_ids}
+    missing = want - got
+    assert not missing, f"{len(missing)}/{len(want)} clone pairs missed"
