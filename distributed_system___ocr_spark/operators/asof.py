@@ -55,3 +55,111 @@ def asof_join(
         ],
     )
     return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+_DAY_US = 24 * 3600 * 1_000_000
+
+
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    prefix: str = "asof_",
+    bucket_us: int = _DAY_US,
+) -> DataFrame:
+    """Skew-hardened as-of join: identical semantics to
+    :func:`asof_join`, different physical shape. The plain form windows
+    over ``key``, so one hot key serializes into a single task; here
+    the expensive window runs over (key, time-bucket) and a BUCKET-
+    level fix-up (rows = distinct (key, bucket) — tiny) carries the
+    latest right row across bucket boundaries:
+
+    1. local pass: the union-window trick within (key, bucket) — each
+       left row gets the latest right row <= its ts INSIDE its bucket;
+    2. bucket summaries: per (key, bucket), the right side's latest row
+       (``max_by`` over ts — same tie exposure as the plain form's
+       window order);
+    3. carry-forward: a per-key window over bucket summaries (left
+       bucket markers sort BEFORE right summaries of the same bucket,
+       so a left bucket only ever sees strictly-earlier buckets);
+    4. fix-up join on (key, bucket): local match wins, else the carry.
+
+    Exact for any bucket size: buckets partition time, so an in-bucket
+    match always postdates every earlier-bucket candidate. Hot-key
+    fixture equality vs asof_join is pinned in
+    tests/test_scale_properties.py."""
+    lcols = left.columns
+    carried = [f"{prefix}{c}" for c in right_cols] + [f"{prefix}{ts}"]
+
+    def bucket(col: str):
+        return F.floor(
+            F.unix_micros(F.col(col).cast("timestamp")) / F.lit(bucket_us)
+        )
+
+    tagged_l = left.withColumn("_b", bucket(ts)).withColumn(
+        "_side", F.lit(1)
+    )
+    tagged_r = (
+        right.select(
+            key, ts, *[F.col(c).alias(f"{prefix}{c}") for c in right_cols]
+        )
+        .withColumn(f"{prefix}{ts}", F.col(ts))
+        .withColumn("_b", bucket(ts))
+        .withColumn("_side", F.lit(0))
+    )
+    unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key, "_b")
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = unioned.select(
+        *lcols,
+        "_b",
+        "_side",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+            for c in carried
+        ],
+    ).filter(F.col("_side") == 1).drop("_side")
+
+    summ = tagged_r.groupBy(key, "_b").agg(
+        *[F.max_by(F.col(c), F.col(ts)).alias(c) for c in carried]
+    )
+    left_buckets = (
+        local.select(key, "_b").distinct().withColumn("_bs", F.lit(0))
+    )
+    bucket_union = left_buckets.unionByName(
+        summ.withColumn("_bs", F.lit(1)), allowMissingColumns=True
+    )
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_b").asc(), F.col("_bs").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carry = (
+        bucket_union.select(
+            key,
+            "_b",
+            "_bs",
+            *[
+                F.last(F.col(c), ignorenulls=True)
+                .over(wb).alias(f"_carry_{c}")
+                for c in carried
+            ],
+        )
+        .filter(F.col("_bs") == 0)
+        .drop("_bs")
+    )
+    return (
+        local.join(carry, [key, "_b"], "left")
+        .select(
+            *lcols,
+            *[
+                F.coalesce(F.col(c), F.col(f"_carry_{c}")).alias(c)
+                for c in carried
+            ],
+        )
+    )

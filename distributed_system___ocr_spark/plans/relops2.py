@@ -14,9 +14,7 @@ from .queries import _t, register
 # as-of join: each click matched to the user's most recent prior purchase
 # --------------------------------------------------------------------------
 
-@register(
-    "asof_click_to_purchase",
-    """
+_ASOF_SQL = """
     SELECT c.event_id, c.user_id, c.ts,
            p.event_id AS asof_event_id,
            p.value    AS asof_value,
@@ -24,9 +22,10 @@ from .queries import _t, register
     FROM (SELECT * FROM events WHERE event_type = 'click') c
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       ON c.user_id = p.user_id AND c.ts >= p.ts
-    """,
-)
-def asof_click_to_purchase(spark, sf_dir):
+    """
+
+
+def _asof_sides(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
@@ -34,7 +33,29 @@ def asof_click_to_purchase(spark, sf_dir):
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
+    return clicks, purchases
+
+
+@register("asof_click_to_purchase", _ASOF_SQL)
+def asof_click_to_purchase(spark, sf_dir):
+    clicks, purchases = _asof_sides(spark, sf_dir)
     return asof_join(
+        clicks, purchases, key="user_id", ts="ts",
+        right_cols=["event_id", "value"],
+    )
+
+
+@register("asof_click_to_purchase_salted", _ASOF_SQL)
+def asof_click_to_purchase_salted(spark, sf_dir):
+    """Same oracle as asof_click_to_purchase; physical shape is the
+    skew-hardened (key, time-bucket) two-phase form
+    (operators/asof.asof_join_salted) — the per-key window the plain
+    form serializes a hot user into becomes per-(user, day) plus a
+    bucket-granularity carry-forward."""
+    from ..operators.asof import asof_join_salted
+
+    clicks, purchases = _asof_sides(spark, sf_dir)
+    return asof_join_salted(
         clicks, purchases, key="user_id", ts="ts",
         right_cols=["event_id", "value"],
     )

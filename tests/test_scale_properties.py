@@ -211,3 +211,67 @@ def test_salted_sessionize_equals_plain_under_hot_key(spark):
         ).distinct().count()
     )
     assert n_buckets > 20
+
+
+def test_salted_asof_equals_plain_under_hot_key(spark):
+    """asof_join_salted must equal asof_join on a fixture where one
+    user holds 50% of both sides, with matches that must come from the
+    same bucket, from the directly-preceding bucket, and carried
+    across empty buckets — plus a user with clicks before any
+    purchase (null carry)."""
+    import random
+
+    from distributed_system___ocr_spark.operators.asof import (
+        asof_join,
+        asof_join_salted,
+    )
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 1, 1)
+    clicks, purchases = [], []
+    # hot user 1: 1500 clicks over ~60 days, purchases at irregular
+    # times (some days none, so carries cross empty buckets)
+    cur = t0
+    for i in range(1500):
+        cur += dt.timedelta(minutes=rng.choice([7, 41, 180, 900]))
+        clicks.append({"event_id": 10_000 + i, "user_id": 1, "ts": cur})
+        if rng.random() < 0.04:
+            purchases.append(
+                {"event_id": 50_000 + i, "user_id": 1,
+                 "ts": cur + dt.timedelta(seconds=30), "value": float(i)}
+            )
+    # boundary cases: purchase exactly at a click's ts (exact match
+    # counts) and at midnight bucket boundaries
+    clicks.append({"event_id": 1, "user_id": 2,
+                   "ts": dt.datetime(2024, 2, 1, 0, 0)})
+    purchases.append({"event_id": 2, "user_id": 2,
+                      "ts": dt.datetime(2024, 2, 1, 0, 0), "value": 9.0})
+    clicks.append({"event_id": 3, "user_id": 2,
+                   "ts": dt.datetime(2024, 2, 3, 0, 0)})
+    # user 3: click with NO prior purchase (stays null)
+    clicks.append({"event_id": 4, "user_id": 3,
+                   "ts": dt.datetime(2024, 1, 5)})
+    # cold users
+    for u in range(4, 100):
+        base = t0 + dt.timedelta(hours=u)
+        purchases.append({"event_id": 90_000 + u, "user_id": u,
+                          "ts": base, "value": float(u)})
+        clicks.append({"event_id": 80_000 + u, "user_id": u,
+                       "ts": base + dt.timedelta(days=3)})
+
+    cdf = spark.createDataFrame(pd.DataFrame(clicks))
+    pdf_ = spark.createDataFrame(pd.DataFrame(purchases))
+    plain = asof_join(cdf, pdf_, key="user_id", ts="ts",
+                      right_cols=["event_id", "value"])
+    salted = asof_join_salted(cdf, pdf_, key="user_id", ts="ts",
+                              right_cols=["event_id", "value"])
+    key = ["event_id", "user_id", "ts", "asof_event_id", "asof_value",
+           "asof_ts"]
+    a = {tuple(r[k] for k in key) for r in plain.collect()}
+    b = {tuple(r[k] for k in key) for r in salted.collect()}
+    assert a == b
+    # the null-carry and exact-match cases actually occurred
+    by_id = {r["event_id"]: r for r in salted.collect()}
+    assert by_id[4]["asof_event_id"] is None
+    assert by_id[1]["asof_event_id"] == 2  # exact-ts match counts
+    assert by_id[3]["asof_event_id"] == 2  # carried across empty days
