@@ -141,3 +141,152 @@ def tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rn") <= _TOPK_TERMS)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization
+# --------------------------------------------------------------------------
+# The oracle tables carry no url column, so a deterministically messy
+# url is constructed per doc on BOTH engines (uppercase scheme/host,
+# default port, dot-segments, unsorted query, fragment); the
+# canonicalizer is the reusable operator surface. Dot-segment
+# resolution is bounded (two passes — enough for one "/./" and one
+# "/../" level; real crawl frontiers iterate to fixpoint outside SQL).
+
+_RAW_URL_DUCK = (
+    "'HTTPS://WWW.' || source || '.Example.COM:443/a/./b/../c/page' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '?z=2&a=1&m=' || "
+    "CAST(doc_id % 3 AS VARCHAR) || '#frag' || CAST(doc_id AS VARCHAR)"
+)
+
+
+@register(
+    "canonicalize_urls",
+    f"""
+    WITH raw AS (SELECT doc_id, {_RAW_URL_DUCK} AS url_raw FROM documents),
+    s1 AS (
+      SELECT doc_id, url_raw,
+             regexp_replace(url_raw, '#.*$', '') AS nofrag
+      FROM raw
+    ),
+    s2 AS (
+      SELECT doc_id, url_raw,
+             lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?]+)', 1))
+               AS hostport,
+             regexp_extract(nofrag, '^[A-Za-z]+://[^/?]*([^?]*)', 1) AS path,
+             regexp_extract(nofrag, '\\?(.*)$', 1) AS query
+      FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, url_raw, scheme,
+             CASE WHEN (scheme = 'https' AND hostport LIKE '%:443')
+                    OR (scheme = 'http' AND hostport LIKE '%:80')
+                  THEN regexp_replace(hostport, ':[0-9]+$', '')
+                  ELSE hostport END AS host,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(path, '/\\./', '/'), '/\\./', '/'),
+                 '/[^/]+/\\.\\./', '/'), '/[^/]+/\\.\\./', '/') AS cpath,
+             CASE WHEN query = '' THEN ''
+                  ELSE '?' || array_to_string(
+                         list_sort(string_split(query, '&')), '&') END AS cq
+      FROM s2
+    )
+    SELECT doc_id, url_raw,
+           scheme || '://' || host || cpath || cq AS url_canonical,
+           host
+    FROM s3
+    """,
+)
+def canonicalize_urls(spark, sf_dir):
+    """Scan-stage string ops only (zero shuffles at any scale): strip
+    fragment, lowercase scheme+host, drop default ports, resolve
+    ./ and ../ segments (bounded), sort query parameters. The step
+    before url-keyed dedup/resume so byte-different spellings of one
+    resource collide."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"),
+        F.lit(".Example.COM:443/a/./b/../c/page"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("?z=2&a=1&m="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("#frag"), F.col("doc_id").cast("string"),
+    )
+    s1 = d.select("doc_id", raw.alias("url_raw"))
+    nofrag = F.regexp_replace("url_raw", "#.*$", "")
+    s2 = s1.select(
+        "doc_id", "url_raw",
+        F.lower(F.regexp_extract(nofrag, "^([A-Za-z]+)://", 1))
+        .alias("scheme"),
+        F.lower(F.regexp_extract(nofrag, "^[A-Za-z]+://([^/?]+)", 1))
+        .alias("hostport"),
+        F.regexp_extract(nofrag, "^[A-Za-z]+://[^/?]*([^?]*)", 1)
+        .alias("path"),
+        F.regexp_extract(nofrag, r"\?(.*)$", 1).alias("query"),
+    )
+    host = F.when(
+        ((F.col("scheme") == "https") & F.col("hostport").endswith(":443"))
+        | ((F.col("scheme") == "http") & F.col("hostport").endswith(":80")),
+        F.regexp_replace("hostport", ":[0-9]+$", ""),
+    ).otherwise(F.col("hostport"))
+    cpath = F.col("path")
+    for pat in ("/\\./", "/\\./", "/[^/]+/\\.\\./", "/[^/]+/\\.\\./"):
+        cpath = F.regexp_replace(cpath, pat, "/")
+    cq = F.when(F.col("query") == "", F.lit("")).otherwise(
+        F.concat(
+            F.lit("?"),
+            F.array_join(F.array_sort(F.split("query", "&")), "&"),
+        )
+    )
+    s3 = s2.select(
+        "doc_id", "url_raw", "scheme", host.alias("host"),
+        cpath.alias("cpath"), cq.alias("cq"),
+    )
+    return s3.select(
+        "doc_id", "url_raw",
+        F.concat(F.col("scheme"), F.lit("://"), F.col("host"),
+                 F.col("cpath"), F.col("cq")).alias("url_canonical"),
+        "host",
+    )
+
+
+# --------------------------------------------------------------------------
+# compression-ratio quality signal (rows-only: no SQL compressor)
+# --------------------------------------------------------------------------
+
+_COMPRESS_REPETITIVE_CUT = 0.45  # ~15th pct of the synthetic corpus
+# (min 0.39, median 0.50) so both branches provably fire at test sf
+
+
+@register("quality_compression_ratio", None)  # sql=None: zlib has no
+# DuckDB twin; pinned by tests/test_textops3.py (known-string values,
+# Spark == pure-Python equality, both branches firing).
+def quality_compression_ratio(spark, sf_dir):
+    """Compression ratio as a quality/repetition signal (the CCNet/
+    Gopher-family heuristic): highly repetitive or boilerplate text
+    compresses far below natural prose. zlib level 6 on utf-8 bytes;
+    per-row Arrow-batched map, zero shuffles at any scale."""
+    import pandas as pd
+    import zlib
+
+    @F.pandas_udf("long")
+    def n_compressed(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: len(zlib.compress(x.encode("utf-8"), 6))
+            if x else 0
+        )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.withColumn("n_compressed", n_compressed("text")).filter(
+        F.length("text") > 0
+    )
+    ratio = F.col("n_compressed") / F.length("text")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        "n_compressed",
+        F.round(ratio, 6).alias("compression_ratio"),
+        (ratio < _COMPRESS_REPETITIVE_CUT).alias("is_repetitive"),
+    )
