@@ -290,3 +290,142 @@ def quality_compression_ratio(spark, sf_dir):
         F.round(ratio, 6).alias("compression_ratio"),
         (ratio < _COMPRESS_REPETITIVE_CUT).alias("is_repetitive"),
     )
+
+
+# --------------------------------------------------------------------------
+# document chunking (fixed-size character windows with overlap)
+# --------------------------------------------------------------------------
+
+_CHUNK_SZ = 200
+_CHUNK_STRIDE = 180  # 20-char overlap between consecutive chunks
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               CAST(floor(greatest(length(text) - 1, 0) /
+                    {_CHUNK_STRIDE}) AS BIGINT))) AS chunk_idx
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, chunk_idx,
+           substring(text,
+                     CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS BIGINT),
+                     {_CHUNK_SZ}) AS chunk,
+           CAST(length(substring(text,
+                     CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS BIGINT),
+                     {_CHUNK_SZ})) AS BIGINT) AS n_chars
+    FROM c JOIN documents USING (doc_id)
+    """,
+)
+def chunk_documents(spark, sf_dir):
+    """Training-window chunking: fixed-size character chunks with
+    overlap (the pre-tokenizer form of sequence slicing). Pure per-row
+    explode — row inflation is len/stride (bounded, linear), no
+    shuffle; at 10^12 docs this runs in the scan stage and feeds the
+    packer below."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    idx = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.floor(
+                F.greatest(F.length("text") - 1, F.lit(0)) / _CHUNK_STRIDE
+            ).cast("int"),
+        )
+    )
+    c = d.select("doc_id", "text", idx.alias("chunk_idx"))
+    chunk = F.expr(
+        f"substring(text, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_SZ})"
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        chunk.alias("chunk"),
+        F.length(chunk).cast("long").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# greedy sequence packing (cumulative-length binning)
+# --------------------------------------------------------------------------
+
+_PACK_TARGET = 4096  # chars per packed training sequence
+
+
+@register(
+    "pack_docs_greedy",
+    f"""
+    SELECT lang, doc_id, n_chars,
+           CAST(floor((sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_chars)
+                / {_PACK_TARGET}) AS BIGINT) AS bin_id
+    FROM documents
+    """,
+)
+def pack_docs_greedy(spark, sf_dir):
+    """Sequence packing: assign docs to fixed-budget training bins by
+    cumulative length in a DETERMINISTIC order (doc_id) per language —
+    bin = floor(preceding_cum / target). One window shuffle on lang;
+    the order-by-key form is what makes packing reproducible across
+    reruns/resumes (an RNG- or arrival-order packer is not). A doc
+    larger than the budget still lands in exactly one bin (oversize
+    bins are the documented greedy behavior, split upstream by
+    chunk_documents)."""
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = _t(spark, sf_dir, "documents")
+    preceding = F.sum("n_chars").over(w) - F.col("n_chars")
+    return d.select(
+        "lang", "doc_id", "n_chars",
+        F.floor(preceding / _PACK_TARGET).cast("long").alias("bin_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# actionable exact dedup: the SURVIVING corpus (keep one per content)
+# --------------------------------------------------------------------------
+
+_DEDUP_CLONE_OFFSET = 10_000_000
+
+
+@register(
+    "dedup_keep_representative",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_DEDUP_CLONE_OFFSET} AS doc_id, text
+      FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id, md5(text) AS content_hash
+    FROM corpus
+    QUALIFY row_number() OVER (PARTITION BY md5(text)
+                               ORDER BY doc_id) = 1
+    """,
+)
+def dedup_keep_representative(spark, sf_dir):
+    """The actionable form of exact dedup: not the pair/group listing
+    (dedup_exact_text) but the corpus that SURVIVES — min doc_id per
+    content hash wins (deterministic representative; first-crawled
+    wins under monotonic ids). The testdata has no organic exact dups,
+    so clones are injected (every 20th doc) and every one of them must
+    be dropped — pinned in tests. One hash-partitioned window, no
+    pairwise work."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + _DEDUP_CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(clones).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        corpus.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

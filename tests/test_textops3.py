@@ -73,3 +73,80 @@ def test_nfc_and_url_gates_fire(spark):
         "https://www.src3.example.com/a/c/page3?a=1&m=0&z=2"
     )
     assert one["host"] == "www.src3.example.com"
+
+
+def test_chunks_tile_documents(spark):
+    """Chunks reconstruct the document: stride-aligned concatenation of
+    non-overlap prefixes + the final chunk equals the original text."""
+    from distributed_system___ocr_spark.plans.textops3 import (
+        _CHUNK_STRIDE,
+        chunk_documents,
+    )
+
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .filter(F.length("text") > 0)
+            .select("doc_id", "text").limit(40).collect()}
+    chunks = {}
+    for r in chunk_documents(spark, SF).collect():
+        chunks.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk"]
+    for doc_id, text in docs.items():
+        parts = chunks[doc_id]
+        assert sorted(parts) == list(range(len(parts)))
+        rebuilt = "".join(
+            parts[i][:_CHUNK_STRIDE] for i in range(len(parts) - 1)
+        ) + parts[len(parts) - 1]
+        assert rebuilt == text, doc_id
+        # consecutive chunks overlap by sz - stride chars
+        if len(parts) > 1:
+            assert parts[0][_CHUNK_STRIDE:] == parts[1][
+                : len(parts[0]) - _CHUNK_STRIDE
+            ]
+
+
+def test_packing_bins_are_budgeted_and_stable(spark):
+    from distributed_system___ocr_spark.plans.textops3 import (
+        _PACK_TARGET,
+        pack_docs_greedy,
+    )
+
+    rows = pack_docs_greedy(spark, SF).collect()
+    again = pack_docs_greedy(spark, SF).collect()
+    key = lambda r: (r["lang"], r["doc_id"], r["bin_id"])
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+    # greedy invariant: a doc's bin is exactly floor(preceding/target),
+    # so each bin's first doc starts at cumulative chars within
+    # [bin*target, (bin+1)*target)
+    from collections import defaultdict
+
+    per_lang = defaultdict(list)
+    for r in rows:
+        per_lang[r["lang"]].append((r["doc_id"], r["n_chars"], r["bin_id"]))
+    for lang, docs in per_lang.items():
+        docs.sort()
+        cum = 0
+        for _, n, b in docs:
+            assert b == cum // _PACK_TARGET
+            cum += n
+    # bin ids are dense from 0 per lang
+    by_lang = defaultdict(set)
+    for r in rows:
+        by_lang[r["lang"]].add(r["bin_id"])
+    for lang, ids in by_lang.items():
+        assert ids == set(range(len(ids)))
+
+
+def test_dedup_survivors_exclude_all_clones(spark):
+    from distributed_system___ocr_spark.plans.textops3 import (
+        _DEDUP_CLONE_OFFSET,
+        dedup_keep_representative,
+    )
+
+    survivors = {r["doc_id"]
+                 for r in dedup_keep_representative(spark, SF).collect()}
+    originals = {r["doc_id"] for r in
+                 spark.read.parquet(f"{SF}/documents.parquet")
+                 .select("doc_id").collect()}
+    clones = {i + _DEDUP_CLONE_OFFSET for i in originals if i % 20 == 0}
+    assert clones, "no clones injected — gate never fires"
+    assert survivors == originals  # every clone dropped, no original lost
