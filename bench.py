@@ -30,6 +30,8 @@ import sys
 import tempfile
 import time
 
+import pandas as pd  # module-level: pandas_udf string hints must resolve
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -74,12 +76,33 @@ def _noop(df) -> None:
 def bench_queries(spark) -> dict[str, float]:
     from distributed_system___ocr_spark import plans
 
+    _warm_session(spark)
     times: dict[str, float] = {}
     for name, spec in sorted(plans.REGISTRY.items()):
         t0 = time.monotonic()
         _noop(spec["builder"](spark, SF_DIR))
         times[name] = round(time.monotonic() - t0, 3)
     return times
+
+
+def _warm_session(spark) -> None:
+    """Pay the one-time session costs (codegen init, parquet reader,
+    Python worker pool spin-up) BEFORE the per-query timing loop —
+    otherwise they all land on whichever query sorts first
+    (ann_ivf_topk was reading 2-3x its warm cost in rounds 1-3)."""
+    from pyspark.sql import functions as F
+
+    _noop(spark.range(1_000_000).select((F.col("id") * 2).alias("x")))
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(8).collect()
+
+    @F.pandas_udf("long")
+    def _touch(s: pd.Series) -> pd.Series:
+        return s
+
+    _noop(
+        spark.range(spark.sparkContext.defaultParallelism * 1000)
+        .select(_touch(F.col("id")).alias("x"))
+    )
 
 
 def _time_extract(spark, corpus_path: str, trials: int = 3) -> float:
