@@ -53,17 +53,30 @@ def kmeans_train(
     """Train k centroids on emb(id, array<double> v); deterministic:
     init = the k lowest-id vectors, updates are decimal-exact means.
     Returns the centroid list (driver-side model, k x dim)."""
-    emb = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("v"))
-    init = emb.orderBy("_id").limit(k).collect()
-    if len(init) < k:
-        raise ValueError(f"need >= {k} vectors to train, got {len(init)}")
-    dim = len(init[0]["v"])
-    cents = [list(r["v"]) for r in init]
-    for _ in range(iters):
-        assigned = emb.withColumn("cell", ivf_cell_udf(cents)(F.col("v")))
-        by_cell = _centroid_rows(assigned, dim)
-        # empty cells keep their previous centroid (standard Lloyd)
-        cents = [by_cell.get(c + 1, cents[c]) for c in range(k)]
+    # persist the projected training set across Lloyd iterations —
+    # without it every iteration re-scans the source (4 iters = 4 full
+    # scans). At 10^12-vector scale the training input is a bounded
+    # SAMPLE anyway (standard IVF practice), so caching it is always
+    # memory-safe; the trained centroids are identical either way
+    # (pinned by tests/test_kmeans.py determinism).
+    emb = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("v")
+    ).persist()
+    try:
+        init = emb.orderBy("_id").limit(k).collect()
+        if len(init) < k:
+            raise ValueError(f"need >= {k} vectors to train, got {len(init)}")
+        dim = len(init[0]["v"])
+        cents = [list(r["v"]) for r in init]
+        for _ in range(iters):
+            assigned = emb.withColumn(
+                "cell", ivf_cell_udf(cents)(F.col("v"))
+            )
+            by_cell = _centroid_rows(assigned, dim)
+            # empty cells keep their previous centroid (standard Lloyd)
+            cents = [by_cell.get(c + 1, cents[c]) for c in range(k)]
+    finally:
+        emb.unpersist()
     return cents
 
 
