@@ -429,3 +429,75 @@ def dedup_keep_representative(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap with an eval set)
+# --------------------------------------------------------------------------
+# The GPT-3/Llama-style decontamination pass: drop training docs that
+# share any N-gram with the evaluation benchmark. Here the "benchmark"
+# is a deterministic slice of the corpus (every 50th doc) so the gate
+# provably fires (the corpus's dup-of-earlier docs collide with it).
+
+_DECON_N = 5  # overlap gram width
+_DUCK_TOKS_DECON = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SPARK_TOKS_DECON = "filter(split(text, ' '), x -> x <> '')"
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS_DECON} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 4),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                         t[i+3] || ' ' || t[i+4])) AS g
+      FROM toks WHERE len(t) >= {_DECON_N}
+    ),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    train AS (SELECT * FROM grams WHERE doc_id % 50 <> 0)
+    SELECT doc_id,
+           CAST(count(DISTINCT CASE WHEN e.g IS NOT NULL THEN t.g END)
+                AS BIGINT) AS n_overlapping_grams,
+           count(DISTINCT t.g) AS n_grams,
+           count(DISTINCT CASE WHEN e.g IS NOT NULL THEN t.g END) > 0
+             AS is_contaminated
+    FROM train t LEFT JOIN eval_grams e USING (g)
+    GROUP BY doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Train docs sharing any 5-gram with the eval slice are flagged.
+    Scale shape: gram explode is linear (one row per token, near
+    enough); the eval-gram side is a bounded benchmark vocabulary at
+    any corpus size, so AQE broadcasts it and the expensive side never
+    re-shuffles; per-doc aggregation is partial+final. Token arrays
+    are staged once per row (the gopher lesson)."""
+    d = _t(spark, sf_dir, "documents")
+    s1 = d.select(
+        "doc_id", F.expr(f"{_SPARK_TOKS_DECON}").alias("t")
+    ).filter(F.size("t") >= _DECON_N)
+    gram = F.expr(
+        "transform(sequence(1, size(t) - 4), i -> concat_ws(' ', "
+        "element_at(t, i), element_at(t, i+1), element_at(t, i+2), "
+        "element_at(t, i+3), element_at(t, i+4)))"
+    )
+    grams = s1.select("doc_id", F.explode(gram).alias("g"))
+    eval_g = (
+        grams.filter(F.col("doc_id") % 50 == 0)
+        .select("g").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = grams.filter(F.col("doc_id") % 50 != 0)
+    joined = train.join(eval_g, "g", "left")
+    overlap = F.countDistinct(
+        F.when(F.col("_hit").isNotNull(), F.col("g"))
+    )
+    return joined.groupBy("doc_id").agg(
+        overlap.cast("long").alias("n_overlapping_grams"),
+        F.countDistinct("g").alias("n_grams"),
+        (overlap > 0).alias("is_contaminated"),
+    )

@@ -150,3 +150,30 @@ def test_dedup_survivors_exclude_all_clones(spark):
     clones = {i + _DEDUP_CLONE_OFFSET for i in originals if i % 20 == 0}
     assert clones, "no clones injected — gate never fires"
     assert survivors == originals  # every clone dropped, no original lost
+
+
+def test_decontamination_gate_fires_and_is_sound(spark):
+    """Contaminated docs exist at test sf (the corpus's dup-of-earlier
+    docs collide with the eval slice) AND every flagged doc really
+    shares a 5-gram with an eval doc (no false positives)."""
+    from distributed_system___ocr_spark.plans.textops3 import (
+        decontaminate_ngram_overlap,
+    )
+
+    rows = decontaminate_ngram_overlap(spark, SF).collect()
+    flagged = [r for r in rows if r["is_contaminated"]]
+    assert flagged, "no contamination at test sf — gate never fires"
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{SF}/documents.parquet").collect()}
+
+    def grams(text):
+        t = [x for x in text.split(" ") if x]
+        return {" ".join(t[i:i + 5]) for i in range(len(t) - 4)}
+
+    eval_grams = set()
+    for i, text in docs.items():
+        if i % 50 == 0:
+            eval_grams |= grams(text)
+    for r in flagged:
+        got = grams(docs[r["doc_id"]]) & eval_grams
+        assert len(got) == r["n_overlapping_grams"] > 0
