@@ -495,3 +495,89 @@ def ann_ivf_topk(spark, sf_dir):
             F.round("cos", 6).alias("cos_sim"), "rnk",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ANN: product quantization with ADC scoring (compressed search)
+# --------------------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_K = 16
+_PQ_NCAND = 100  # ADC candidates per query before exact re-rank
+_PQ_MODELS: dict[tuple, list] = {}  # (sf_dir, mtime) -> codebooks
+
+
+@register("ann_pq_topk", None)  # iterative training: no SQL oracle;
+# pinned by tests/test_pq.py (determinism, code validity, ADC-score
+# exactness vs pure Python, candidate recall vs exact top-k).
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantized search, the production IVFADC+re-rank shape
+    (operators/pq.py): M=8 codebooks of k=16 centroids (32-bit codes)
+    trained with distributed Lloyd's; stage 1 scores EVERY row from
+    its codes alone — pure Catalyst element_at over the query's
+    literal lookup tables, no float vectors touched — and keeps the
+    top _PQ_NCAND candidates; stage 2 re-ranks only those candidates
+    with exact L2 on the floats. At 10^12 rows the scan reads 4 bytes
+    of codes per row instead of 256 bytes of floats, and the exact
+    math touches a fixed 100 rows per query. Model cached per sf_dir
+    (training is deterministic)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from ..operators.pq import adc_tables, pq_adc_score, pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _spark_dvec(F.col("embedding")).alias("v")
+    )
+    path = f"{sf_dir}/embeddings.parquet"
+    key = (sf_dir, os.path.getmtime(path) if os.path.exists(path) else 0)
+    books = _PQ_MODELS.get(key)
+    if books is None:
+        books = pq_train(emb, m=_PQ_M, k=_PQ_K, iters=3)
+        _PQ_MODELS[key] = books
+    codes = pq_encode(emb, books)
+    queries = {
+        r["vec_id"]: list(r["v"])
+        for r in emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).collect()
+    }
+    scored = None
+    for qid in sorted(queries):
+        tables = adc_tables(books, queries[qid])
+        part = codes.filter(F.col("vec_id") != qid).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            pq_adc_score(F.col("codes"), tables).alias("adc"),
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= _PQ_NCAND)
+        .select("query_id", "neighbor_id", "adc")
+    )
+    # exact re-rank on the candidates only
+    q = emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    reranked = cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+    l2 = (
+        _spark_dot(F.col("cv"), F.col("cv"))
+        - 2.0 * _spark_dot(F.col("cv"), F.col("qv"))
+        + _spark_dot(F.col("qv"), F.col("qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.select("query_id", "neighbor_id", l2.alias("l2"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("l2", 6).alias("l2_dist"), "rnk",
+        )
+    )
