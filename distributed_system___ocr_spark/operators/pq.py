@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import ivf_cell_udf
-from .kmeans import kmeans_train
+
 
 
 def pq_train(
@@ -39,21 +39,77 @@ def pq_train(
     vec_col: str = "v",
     id_col: str = "vec_id",
 ) -> list[list[list[float]]]:
-    """Train M per-block codebooks of k centroids each. Deterministic
-    (inherits kmeans_train's decimal-exact updates + lowest-id init)."""
-    first = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
-    if not first:
-        raise ValueError("cannot train PQ on an empty corpus")
-    dim = first[0]["d"]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible into {m} blocks")
-    sub = dim // m
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        block = emb.select(
-            id_col, F.slice(vec_col, j * sub + 1, sub).alias("v")
-        )
-        books.append(kmeans_train(block, k=k, iters=iters, id_col=id_col))
+    """Train M per-block codebooks of k centroids each, JOINTLY: all M
+    blocks assign and update in the SAME two Spark jobs per iteration
+    (m independent kmeans_train loops would run m x (2*iters + 1)
+    jobs — scheduling overhead dominated the wall at small scale,
+    21.7 s -> ~4 s). Semantics are identical to per-block
+    kmeans_train: init = the k lowest-id vectors' block slices,
+    updates are decimal-exact means, empty cells keep their previous
+    centroid."""
+    emb = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("v")
+    ).persist()
+    try:
+        init = emb.orderBy("_id").limit(k).collect()
+        if len(init) < k:
+            raise ValueError(f"need >= {k} vectors, got {len(init)}")
+        dim = len(init[0]["v"])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible into {m} blocks")
+        sub = dim // m
+        books = [
+            [list(r["v"][j * sub : (j + 1) * sub]) for r in init]
+            for j in range(m)
+        ]
+        for _ in range(iters):
+            # all M assignments in one projection, then ONE posexplode
+            # of the full vector with block/pos derived from position —
+            # a per-block union would re-execute the UDF projection
+            # once per branch (measured 8x the kernel cost)
+            cells = F.array(
+                *[
+                    ivf_cell_udf(books[j])(F.slice("v", j * sub + 1, sub))
+                    for j in range(m)
+                ]
+            )
+            assigned = emb.select("v", cells.alias("cells"))
+            ex = assigned.select(
+                F.posexplode("v").alias("p0", "x"), "cells"
+            )
+            b = F.floor(F.col("p0") / sub)
+            means = (
+                ex.select(
+                    b.alias("b"),
+                    (F.col("p0") % sub).alias("pos"),
+                    F.element_at("cells", (b + 1).cast("int")).alias(
+                        "cell"
+                    ),
+                    "x",
+                )
+                .groupBy("b", "cell", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("x").cast("decimal(38,18)"))
+                        / F.count("*")
+                    ).cast("double").alias("m")
+                )
+                .collect()  # m x k x sub rows — model-sized, not data
+            )
+            by_key: dict[tuple[int, int], list[float]] = {}
+            for r in means:
+                by_key.setdefault(
+                    (r["b"], r["cell"]), [0.0] * sub
+                )[r["pos"]] = r["m"]
+            books = [
+                [
+                    by_key.get((j, c + 1), books[j][c])
+                    for c in range(k)
+                ]
+                for j in range(m)
+            ]
+    finally:
+        emb.unpersist()
     return books
 
 
