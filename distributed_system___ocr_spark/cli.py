@@ -105,7 +105,12 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.input_urls, spark.read.parquet(args.pages_table)
         )
     else:
-        pages = spark.read.parquet(args.input)
+        from .sources.normalize import normalize_pages
+
+        # arbitrary pages tables drift from the canonical schema
+        # (missing optionals, string html, epoch timestamps) —
+        # normalize once at the boundary
+        pages = normalize_pages(spark.read.parquet(args.input))
     info = run_pipeline(
         spark,
         pages,

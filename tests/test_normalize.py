@@ -1,0 +1,77 @@
+"""Schema-tolerant ingestion (sources/normalize.py): drifted pages
+tables project onto the canonical schema and run through the REAL
+pipeline end-to-end."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_system___ocr_spark.sources.normalize import normalize_pages
+
+
+def test_missing_optionals_and_extra_columns(spark):
+    drifted = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["https://a/1", "https://a/2"],
+                "html": [
+                    "<p>string payload long enough to keep as a block</p>",
+                    "<p>another string payload long enough to keep</p>",
+                ],  # STRING html, no warc_ts/text/lang, extra col:
+                "crawl_batch": [7, 7],
+            }
+        )
+    )
+    got = normalize_pages(drifted)
+    assert [f.name for f in got.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
+    types = {f.name: f.dataType.simpleString() for f in got.schema.fields}
+    assert types == {
+        "url": "string", "warc_ts": "timestamp",
+        "html": "binary", "text": "string", "lang": "string",
+    }
+    rows = got.collect()
+    assert all(r["warc_ts"] == dt.datetime(1970, 1, 1) for r in rows)
+    assert all(isinstance(r["html"], (bytes, bytearray)) for r in rows)
+
+
+def test_epoch_seconds_timestamp_and_pipeline_e2e(spark, tmp_path):
+    drifted = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [f"https://b/{i}" for i in range(30)],
+                "warc_ts": [1_700_000_000 + i for i in range(30)],  # epoch s
+                "html": [
+                    f"<html><body><article><p>Body text {i} with enough "
+                    f"words to pass the density scorer in the content "
+                    f"classifier.</p></article></body></html>"
+                    for i in range(30)
+                ],
+            }
+        )
+    )
+    pages = normalize_pages(drifted)
+    assert pages.schema["warc_ts"].dataType.simpleString() == "timestamp"
+    ts0 = pages.orderBy("url").limit(1).collect()[0]["warc_ts"]
+    assert ts0.year == 2023  # 1.7e9 epoch seconds
+
+    from distributed_system___ocr_spark.pipeline import (
+        read_extracted,
+        run_pipeline,
+    )
+
+    info = run_pipeline(spark, pages, str(tmp_path / "out"), run_id="n1")
+    assert info["n_extracted_this_run"] == 30
+    got = read_extracted(spark, str(tmp_path / "out"))
+    assert got.filter(F.col("status") == "ok").count() == 30
+
+
+def test_missing_url_rejected(spark):
+    df = spark.createDataFrame(pd.DataFrame({"html": ["<p>x</p>"]}))
+    with pytest.raises(ValueError, match="required column"):
+        normalize_pages(df)
