@@ -1,28 +1,113 @@
-"""Distributed Lloyd's k-means for IVF coarse quantizers.
+"""Lloyd's k-means for IVF coarse quantizers, with a BOUNDED training
+input by default.
 
 The fixed seeded centroids in plans.vectorops keep the SQL oracle
 reproducible; a REAL IVF index trains its quantizer on the corpus.
-This is that trainer: assignment runs the same strict-order numpy
-kernel as ann_ivf_topk (functions.vectors.ivf_cell_udf), the update
-step is one partial-agg shuffle per iteration, and centroid means are
-decimal-summed so the trained centroids are bit-identical across
-partitionings and reruns (same discipline as every oracle query).
+Training a quantizer on the FULL table is the classic 100-TB mistake:
+k-means recall saturates at a few hundred samples per centroid, so a
+10^12-row scan per Lloyd iteration buys nothing (standard IVF practice
+— Jegou et al. 2011 train on bounded samples). The trainer therefore:
+
+1. bounds its input to ``sample_cap`` rows (default
+   ``max(50_000, 256*k)``) with a DETERMINISTIC md5-bucket filter —
+   no RNG, resume/rerun/partitioning-stable, same trick as
+   plans.textops2.sample_stratified_docs;
+2. fits on that sample either LOCALLY (the default: the sample is
+   model-fit-sized by construction — 50k x 64 doubles = 25 MB — so it
+   collects once and Lloyd's runs in numpy with a fixed row order,
+   zero Spark jobs per iteration) or DISTRIBUTED (``strategy=
+   "distributed"``: assignment via the strict-order numpy kernel
+   ivf_cell_udf, update = one decimal-exact partial-agg shuffle per
+   iteration, driver traffic = k x dim doubles). Both paths are
+   bit-deterministic across reruns and input partitionings.
+
+Everything data-sized — cell assignment over the corpus, the ANN
+queries themselves — stays distributed; only the bounded model fit
+ever touches the driver.
 
 Iterative + data-dependent, so there is no ANSI-SQL oracle; the
 registry entry (ann_ivf_trained_topk) is a rows-only check and pytest
 pins the invariants instead: deterministic centroids, monotone
-inertia, assignment optimality, and recall >= the fixed-centroid IVF.
-
-Driver traffic per iteration: k x dim doubles (the centroids), never
-rows — the k-means state is the only thing that leaves the cluster.
+inertia, assignment optimality, recall >= the fixed-centroid IVF, and
+sampled-vs-full recall parity (tests/test_kmeans.py).
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import ivf_cell_udf
+
+_SAMPLE_DENOM = 1 << 20
+
+
+def default_train_cap(k: int) -> int:
+    """Standard IVF training budget: a few hundred vectors per
+    centroid, floored at 50k so small k still sees a stable sample."""
+    return max(50_000, 256 * k)
+
+
+def bounded_training_input(emb: DataFrame, cap: int) -> DataFrame:
+    """Deterministic md5-bucket sample of ~cap rows from emb(_id, v).
+
+    Keep a row iff conv(md5(_id)[:8], 16, 10) % 2^20 < ceil(cap/n *
+    2^20): stateless per-row filter, no RNG, identical across reruns,
+    resumes and partitionings (the sample_stratified_docs discipline).
+    One count() job sizes the rate; n <= cap returns emb unchanged, so
+    test-scale fixtures always train on the full table."""
+    n = emb.count()
+    if n <= cap:
+        return emb
+    num = -(-cap * _SAMPLE_DENOM // n)  # ceil — never rounds to empty
+    b = (
+        F.conv(F.substring(F.md5(F.col("_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _SAMPLE_DENOM
+    )
+    return emb.filter(b < num)
+
+
+def _collect_sorted(emb: DataFrame):
+    """Sample rows -> (ids, V) in ascending-id order: the fixed row
+    order is what makes the local float math bit-deterministic."""
+    rows = emb.collect()
+    rows.sort(key=lambda r: r["_id"])
+    ids = [r["_id"] for r in rows]
+    V = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    return ids, V
+
+
+def _assign_local(V: np.ndarray, cents: list[list[float]]) -> np.ndarray:
+    """Strict-order argmin, same expansion as ivf_cell_udf (0-based)."""
+    vv = np.zeros(V.shape[0], dtype=np.float64)
+    for d in range(V.shape[1]):
+        vv = vv + V[:, d] * V[:, d]
+    dmat = np.empty((V.shape[0], len(cents)), dtype=np.float64)
+    for j, c in enumerate(cents):
+        ca = np.asarray(c, dtype=np.float64)
+        dot = np.zeros(V.shape[0], dtype=np.float64)
+        for d in range(V.shape[1]):
+            dot = dot + V[:, d] * ca[d]
+        dmat[:, j] = (vv - 2.0 * dot) + sum(x * x for x in c)
+    return np.argmin(dmat, axis=1)
+
+
+def _lloyd_local(
+    V: np.ndarray, k: int, iters: int, init: list[list[float]]
+) -> list[list[float]]:
+    """Lloyd's on the in-memory sample. Deterministic: V arrives in
+    ascending-id order and numpy reductions over a fixed array are
+    reproducible; empty cells keep their previous centroid."""
+    cents = [list(c) for c in init]
+    for _ in range(iters):
+        cell = _assign_local(V, cents)
+        for c in range(k):
+            mask = cell == c
+            if mask.any():
+                cents[c] = [float(x) for x in V[mask].mean(axis=0)]
+    return cents
 
 
 def _centroid_rows(assigned: DataFrame, dim: int) -> dict[int, list[float]]:
@@ -49,19 +134,40 @@ def kmeans_train(
     iters: int = 4,
     vec_col: str = "v",
     id_col: str = "vec_id",
+    sample_cap: int | None = None,
+    strategy: str = "auto",
 ) -> list[list[float]]:
     """Train k centroids on emb(id, array<double> v); deterministic:
-    init = the k lowest-id vectors, updates are decimal-exact means.
-    Returns the centroid list (driver-side model, k x dim)."""
-    # persist the projected training set across Lloyd iterations —
-    # without it every iteration re-scans the source (4 iters = 4 full
-    # scans). At 10^12-vector scale the training input is a bounded
-    # SAMPLE anyway (standard IVF practice), so caching it is always
-    # memory-safe; the trained centroids are identical either way
-    # (pinned by tests/test_kmeans.py determinism).
-    emb = emb.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("v")
-    ).persist()
+    init = the k lowest-id vectors in the training input, empty cells
+    keep their previous centroid. Returns the centroid list
+    (driver-side model, k x dim).
+
+    ``sample_cap`` bounds the training input via the deterministic
+    md5-bucket sample (None -> ``default_train_cap(k)``; 0 disables
+    sampling). ``strategy``: "local" collects the bounded sample and
+    runs numpy Lloyd's (zero Spark jobs per iteration); "distributed"
+    keeps every iteration on the cluster (assignment kernel + one
+    decimal-exact partial-agg shuffle, driver sees only k x dim
+    doubles); "auto" = local when the input is cap-bounded (always
+    memory-safe by construction), distributed when sampling was
+    explicitly disabled (never collect an unbounded table)."""
+    if sample_cap is None:
+        sample_cap = default_train_cap(k)
+    emb = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("v"))
+    if sample_cap:
+        emb = bounded_training_input(emb, sample_cap)
+    if strategy == "auto":
+        strategy = "local" if sample_cap else "distributed"
+    if strategy == "local":
+        ids, V = _collect_sorted(emb)
+        if len(ids) < k:
+            raise ValueError(f"need >= {k} vectors to train, got {len(ids)}")
+        return _lloyd_local(V, k, iters, [list(v) for v in V[:k].tolist()])
+    # distributed path: persist the projected training set across
+    # Lloyd iterations — without it every iteration re-scans the
+    # source (4 iters = 4 full scans); the input is cap-bounded (or
+    # the caller opted into full-table), so caching is memory-safe.
+    emb = emb.persist()
     try:
         init = emb.orderBy("_id").limit(k).collect()
         if len(init) < k:

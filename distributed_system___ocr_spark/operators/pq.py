@@ -24,11 +24,18 @@ recall against the exact top-k.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module level: pandas_udf string hints resolve here
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import ivf_cell_udf
-
+from ..functions.vectors import _seq_dot, _seq_dot_vec, _stack, ivf_cell_udf
+from .kmeans import (
+    _collect_sorted,
+    _lloyd_local,
+    bounded_training_input,
+    default_train_cap,
+)
 
 
 def pq_train(
@@ -38,18 +45,53 @@ def pq_train(
     iters: int = 3,
     vec_col: str = "v",
     id_col: str = "vec_id",
+    sample_cap: int | None = None,
+    strategy: str = "auto",
 ) -> list[list[list[float]]]:
-    """Train M per-block codebooks of k centroids each, JOINTLY: all M
-    blocks assign and update in the SAME two Spark jobs per iteration
-    (m independent kmeans_train loops would run m x (2*iters + 1)
-    jobs — scheduling overhead dominated the wall at small scale,
-    21.7 s -> ~4 s). Semantics are identical to per-block
-    kmeans_train: init = the k lowest-id vectors' block slices,
-    updates are decimal-exact means, empty cells keep their previous
-    centroid."""
-    emb = emb.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("v")
-    ).persist()
+    """Train M per-block codebooks of k centroids each. Semantics:
+    init = the k lowest-id vectors' block slices, empty cells keep
+    their previous centroid.
+
+    Training input is bounded by ``sample_cap`` (None ->
+    ``default_train_cap(k)``; 0 disables) via the deterministic
+    md5-bucket sample — PQ codebook quality saturates at a few
+    hundred samples per centroid, so scanning a 10^12-row table per
+    Lloyd iteration is pure waste (see operators/kmeans.py docstring).
+
+    ``strategy="local"`` (the "auto" default for cap-bounded input)
+    collects the sample once and trains every block in numpy — zero
+    Spark jobs per iteration. ``strategy="distributed"`` trains all M
+    blocks JOINTLY on the cluster: all M assignments and updates in
+    the SAME two Spark jobs per iteration (m independent kmeans_train
+    loops would run m x (2*iters + 1) jobs — scheduling overhead
+    dominated the wall at small scale, 21.7 s -> ~4 s), updates are
+    decimal-exact means. Both paths are bit-deterministic across
+    reruns and input partitionings."""
+    if sample_cap is None:
+        sample_cap = default_train_cap(k)
+    emb = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("v"))
+    if sample_cap:
+        emb = bounded_training_input(emb, sample_cap)
+    if strategy == "auto":
+        strategy = "local" if sample_cap else "distributed"
+    if strategy == "local":
+        ids, V = _collect_sorted(emb)
+        if len(ids) < k:
+            raise ValueError(f"need >= {k} vectors, got {len(ids)}")
+        dim = V.shape[1]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible into {m} blocks")
+        sub = dim // m
+        return [
+            _lloyd_local(
+                V[:, j * sub : (j + 1) * sub],
+                k,
+                iters,
+                [list(v) for v in V[:k, j * sub : (j + 1) * sub].tolist()],
+            )
+            for j in range(m)
+        ]
+    emb = emb.persist()
     try:
         init = emb.orderBy("_id").limit(k).collect()
         if len(init) < k:
@@ -113,6 +155,35 @@ def pq_train(
     return books
 
 
+def pq_codes_udf(codebooks: list[list[list[float]]]):
+    """array<double> -> array<int>: all M block argmins in ONE
+    vectorized kernel. Float semantics are identical to running
+    functions.vectors.ivf_cell_udf per block ((dot(b,b) - 2*dot(b,c))
+    + |c|^2, strict dim order, first argmin on ties) — one UDF instead
+    of M keeps both the driver-side plan build (M pandas_udf
+    registrations) and the worker-side column passes flat in M."""
+    cbs = [
+        [np.asarray(c, dtype=np.float64) for c in cb] for cb in codebooks
+    ]
+    sqs = [[sum(x * x for x in c) for c in cb] for cb in codebooks]
+    sub = len(codebooks[0][0])
+
+    @F.pandas_udf("array<int>")
+    def codes(v: pd.Series) -> pd.Series:
+        a = _stack(v)
+        out = np.empty((a.shape[0], len(cbs)), dtype=np.int32)
+        for j, (cb, sq) in enumerate(zip(cbs, sqs)):
+            b = a[:, j * sub : (j + 1) * sub]
+            bb = _seq_dot(b, b)
+            d = np.empty((a.shape[0], len(cb)), dtype=np.float64)
+            for i, (c, s) in enumerate(zip(cb, sq)):
+                d[:, i] = (bb - 2.0 * _seq_dot_vec(b, c)) + s
+            out[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return codes
+
+
 def pq_encode(
     emb: DataFrame,
     codebooks: list[list[list[float]]],
@@ -120,18 +191,9 @@ def pq_encode(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, codes array<int>) — M codes per vector, each in [0, k)."""
-    sub = len(codebooks[0][0])
-    code_cols = [
-        (
-            ivf_cell_udf(cb)(F.slice(vec_col, j * sub + 1, sub)) - 1
-        ).cast("int").alias(f"_c{j}")
-        for j, cb in enumerate(codebooks)
-    ]
-    tmp = emb.select(F.col(id_col).alias("vec_id"), *code_cols)
-    return tmp.select(
-        "vec_id",
-        F.array(*[F.col(f"_c{j}") for j in range(len(codebooks))])
-        .alias("codes"),
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        pq_codes_udf(codebooks)(F.col(vec_col)).alias("codes"),
     )
 
 
@@ -156,12 +218,26 @@ def adc_tables(
 
 def pq_adc_score(codes_col, tables: list[list[float]]):
     """Catalyst expression: approximate squared distance = sum of M
-    table lookups on the codes array. JVM-side — no Python at query
-    time."""
+    table lookups on the codes array (left-to-right fold, matching a
+    plain Python sum). JVM-side — no Python at query time.
+
+    Pass ``codes_col`` as a column NAME to get the fast construction
+    path: the whole score is ONE F.expr SQL string (a single py4j
+    round-trip; building it from per-element F.lit was ~400 py4j
+    calls per query and dominated the driver-side plan-build wall at
+    M=8, k=16). A Column falls back to the composed-Column form."""
+    if isinstance(codes_col, str):
+        terms = [
+            "element_at(array("
+            + ",".join(repr(float(t)) + "D" for t in table)
+            + f"), element_at({codes_col}, {j + 1}) + 1)"
+            for j, table in enumerate(tables)
+        ]
+        return F.expr("(" + " + ".join(terms) + ")")
     score = None
     for j, table in enumerate(tables):
         term = F.element_at(
-            F.array(*[F.lit(t) for t in table]),
+            F.lit([float(t) for t in table]),
             F.element_at(codes_col, j + 1) + 1,
         )
         score = term if score is None else score + term

@@ -364,7 +364,43 @@ _DUCK_DISTS = ", ".join(
 )
 
 
-_TRAINED_CENTROIDS: dict[tuple, list] = {}  # (sf_dir, mtime) -> centroids
+def _emb_fingerprint(sf_dir: str) -> tuple:
+    """Content fingerprint of the embeddings table for model caching:
+    (name, size, mtime_ns) of every data file. Directory mtime alone
+    has second granularity and misses in-place rewrites."""
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(path):
+        return (
+            path,
+            tuple(
+                sorted(
+                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                    for e in os.scandir(path)
+                    if e.is_file()
+                )
+            ),
+        )
+    if os.path.exists(path):
+        st = os.stat(path)
+        return (path, st.st_size, st.st_mtime_ns)
+    return (path, None)
+
+
+def _model_cache_get(cache: dict, key: tuple, train):
+    """Bounded memo: trained models are deterministic, so a hit only
+    skips re-spending the same Spark jobs; the cap stops unbounded
+    growth across many sf_dirs."""
+    model = cache.get(key)
+    if model is None:
+        if len(cache) >= 8:
+            cache.clear()
+        model = cache[key] = train()
+    return model
+
+
+_TRAINED_CENTROIDS: dict[tuple, list] = {}  # fingerprint -> centroids
 
 
 @register("ann_ivf_trained_topk", None)  # iterative training: no SQL oracle
@@ -385,14 +421,11 @@ def ann_ivf_trained_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _spark_dvec(F.col("embedding")).alias("v")
     )
-    import os
-
-    path = f"{sf_dir}/embeddings.parquet"
-    key = (sf_dir, os.path.getmtime(path) if os.path.exists(path) else 0)
-    cents = _TRAINED_CENTROIDS.get(key)
-    if cents is None:
-        cents = kmeans_train(emb, k=_N_CELLS, iters=3)
-        _TRAINED_CENTROIDS[key] = cents
+    cents = _model_cache_get(
+        _TRAINED_CENTROIDS,
+        _emb_fingerprint(sf_dir),
+        lambda: kmeans_train(emb, k=_N_CELLS, iters=3),
+    )
     assigned = emb.withColumn("cell", ivf_cell_udf(cents)(F.col("v")))
     q = assigned.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
@@ -504,7 +537,7 @@ def ann_ivf_topk(spark, sf_dir):
 _PQ_M = 8
 _PQ_K = 16
 _PQ_NCAND = 100  # ADC candidates per query before exact re-rank
-_PQ_MODELS: dict[tuple, list] = {}  # (sf_dir, mtime) -> codebooks
+_PQ_MODELS: dict[tuple, list] = {}  # fingerprint -> codebooks
 
 
 @register("ann_pq_topk", None)  # iterative training: no SQL oracle;
@@ -524,8 +557,6 @@ def ann_pq_topk(spark, sf_dir):
     OFFLINE index build (training + encode) inline for honesty — in
     production that cost amortizes over every query against the
     index; 2 Lloyd iterations measured recall-equal to 3 here."""
-    import os
-
     from pyspark.sql import Window
 
     from ..operators.pq import adc_tables, pq_adc_score, pq_encode, pq_train
@@ -533,12 +564,11 @@ def ann_pq_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _spark_dvec(F.col("embedding")).alias("v")
     )
-    path = f"{sf_dir}/embeddings.parquet"
-    key = (sf_dir, os.path.getmtime(path) if os.path.exists(path) else 0)
-    books = _PQ_MODELS.get(key)
-    if books is None:
-        books = pq_train(emb, m=_PQ_M, k=_PQ_K, iters=2)
-        _PQ_MODELS[key] = books
+    books = _model_cache_get(
+        _PQ_MODELS,
+        _emb_fingerprint(sf_dir),
+        lambda: pq_train(emb, m=_PQ_M, k=_PQ_K, iters=2),
+    )
     codes = pq_encode(emb, books)
     queries = {
         r["vec_id"]: list(r["v"])
@@ -552,7 +582,7 @@ def ann_pq_topk(spark, sf_dir):
             F.struct(
                 F.lit(qid).cast("long").alias("query_id"),
                 pq_adc_score(
-                    F.col("codes"), adc_tables(books, queries[qid])
+                    "codes", adc_tables(books, queries[qid])
                 ).alias("adc"),
             )
             for qid in sorted(queries)
