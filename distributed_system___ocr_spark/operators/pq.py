@@ -216,6 +216,19 @@ def adc_tables(
     return tables
 
 
+def pq_adc_score_sql(codes_col: str, tables: list[list[float]]) -> str:
+    """SQL text of the ADC score (sum of M table lookups, left-to-
+    right fold) over a codes column name — composable into larger
+    expressions (e.g. the per-probed-cell CASE in IVFADC)."""
+    terms = [
+        "element_at(array("
+        + ",".join(repr(float(t)) + "D" for t in table)
+        + f"), element_at({codes_col}, {j + 1}) + 1)"
+        for j, table in enumerate(tables)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def pq_adc_score(codes_col, tables: list[list[float]]):
     """Catalyst expression: approximate squared distance = sum of M
     table lookups on the codes array (left-to-right fold, matching a
@@ -227,13 +240,7 @@ def pq_adc_score(codes_col, tables: list[list[float]]):
     calls per query and dominated the driver-side plan-build wall at
     M=8, k=16). A Column falls back to the composed-Column form."""
     if isinstance(codes_col, str):
-        terms = [
-            "element_at(array("
-            + ",".join(repr(float(t)) + "D" for t in table)
-            + f"), element_at({codes_col}, {j + 1}) + 1)"
-            for j, table in enumerate(tables)
-        ]
-        return F.expr("(" + " + ".join(terms) + ")")
+        return F.expr(pq_adc_score_sql(codes_col, tables))
     score = None
     for j, table in enumerate(tables):
         term = F.element_at(

@@ -627,3 +627,162 @@ def ann_pq_topk(spark, sf_dir):
             F.round("l2", 6).alias("l2_dist"), "rnk",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ANN: IVFADC — the trained coarse quantizer ROUTES the ADC scan
+# (composition of operators/kmeans.py + operators/pq.py; Jegou et al.
+# 2011's IVFADC). ann_pq_topk above ADC-scans every code row; here
+# stage 1 touches only the codes inside the query's nprobe nearest
+# cells, which at 10^12 rows is the difference between a full scan
+# and |N| * nprobe / n_cells. PQ codebooks are trained on RESIDUALS
+# (v - cell centroid), the standard IVFADC trick that concentrates
+# code precision where the cell leaves ambiguity.
+# --------------------------------------------------------------------------
+
+_IVFADC_NPROBE = 6  # smallest nprobe whose mean recall >= flat-PQ's on
+# the fixture (pinned in tests/test_pq.py); nprobe/n_cells is the
+# recall-vs-cost dial — production uses nprobe << n_cells over far
+# more cells (e.g. 8-64 of 4096), the fixture has only 16 cells
+_IVFADC_MODELS: dict[tuple, tuple] = {}  # fingerprint -> (cents, books)
+
+
+def _sql_dvec(vec: list[float]) -> str:
+    return "array(" + ",".join(repr(float(x)) + "D" for x in vec) + ")"
+
+
+@register("ann_ivfadc_topk", None)  # iterative training: no SQL oracle;
+# pinned by tests/test_pq.py (determinism, recall >= flat PQ, and the
+# cell filter sitting BEFORE the ADC projection in the plan).
+def ann_ivfadc_topk(spark, sf_dir):
+    """IVFADC + exact re-rank. Offline: coarse quantizer = the SAME
+    trained k-means as ann_ivf_trained_topk (shared model cache);
+    residual PQ codebooks trained on (v - centroid[cell]); the stored
+    index is (vec_id, cell, codes) — 4-byte codes plus a cell id per
+    row, with `cell` the partition key at scale. Query: driver picks
+    the nprobe nearest cells per query (k x dim model math), stage 1
+    filters the index to probed cells BEFORE computing any score (on
+    a cell-partitioned table this is partition pruning), scores codes
+    with per-(query, cell) residual ADC tables — pure Catalyst CASE
+    over element_at lookups, no floats touched — and keeps the top
+    _PQ_NCAND; stage 2 re-ranks only those with exact L2."""
+    from pyspark.sql import Window
+
+    from ..operators.kmeans import kmeans_train
+    from ..operators.pq import (
+        adc_tables,
+        pq_adc_score_sql,
+        pq_codes_udf,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _spark_dvec(F.col("embedding")).alias("v")
+    )
+    fp = _emb_fingerprint(sf_dir)
+    cents = _model_cache_get(
+        _TRAINED_CENTROIDS, fp, lambda: kmeans_train(emb, k=_N_CELLS, iters=3)
+    )
+    cents_sql = (
+        "array(" + ",".join(_sql_dvec(c) for c in cents) + ")"
+    )
+    resid = F.expr(
+        f"zip_with(v, element_at({cents_sql}, cast(cell as int)), "
+        "(a, b) -> a - b)"
+    )
+    assigned = emb.withColumn("cell", ivf_cell_udf(cents)(F.col("v")))
+
+    def _train_books():
+        return pq_train(
+            assigned.select("vec_id", resid.alias("v")),
+            m=_PQ_M,
+            k=_PQ_K,
+            iters=2,
+        )
+
+    books = _model_cache_get(_IVFADC_MODELS, fp, _train_books)
+    index = assigned.select(
+        "vec_id", "cell", pq_codes_udf(books)(resid).alias("codes")
+    )
+
+    queries = {
+        r["vec_id"]: list(r["v"])
+        for r in emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).collect()
+    }
+    # driver-side cell routing: nprobe nearest centroids per query,
+    # deterministic tie-break on cell index (model math: k x dim)
+    probed: dict[int, list[int]] = {}
+    for qid, qv in queries.items():
+        d = [
+            (sum((a - b) * (a - b) for a, b in zip(qv, c)), i + 1)
+            for i, c in enumerate(cents)
+        ]
+        probed[qid] = [cell for _, cell in sorted(d)[:_IVFADC_NPROBE]]
+    all_probed = sorted({c for cs in probed.values() for c in cs})
+
+    def _case(qid: int) -> str:
+        qv = queries[qid]
+        arms = " ".join(
+            f"WHEN {cell} THEN "
+            + pq_adc_score_sql(
+                "codes",
+                adc_tables(
+                    books,
+                    [a - b for a, b in zip(qv, cents[cell - 1])],
+                ),
+            )
+            for cell in probed[qid]
+        )
+        return f"CASE cell {arms} END"
+
+    per_q = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.expr(_case(qid)).alias("adc"),
+            )
+            for qid in sorted(queries)
+        ]
+    )
+    scored = (
+        index.filter(F.col("cell").isin(all_probed))  # the routing cut
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.explode(per_q).alias("qa"),
+        )
+        .select("neighbor_id", "qa.query_id", "qa.adc")
+        .filter(
+            F.col("adc").isNotNull()
+            & (F.col("neighbor_id") != F.col("query_id"))
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= _PQ_NCAND)
+        .select("query_id", "neighbor_id")
+    )
+    q = emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    reranked = cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+    l2 = (
+        _spark_dot(F.col("cv"), F.col("cv"))
+        - 2.0 * _spark_dot(F.col("cv"), F.col("qv"))
+        + _spark_dot(F.col("qv"), F.col("qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.select("query_id", "neighbor_id", l2.alias("l2"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("l2", 6).alias("l2_dist"), "rnk",
+        )
+    )

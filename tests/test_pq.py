@@ -115,3 +115,61 @@ def test_pq_topk_recall_and_determinism(spark):
             len(exact5 & {nid for _, nid, _ in entries}) / 5
         )
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_ivfadc_routing_recall_and_plan(spark):
+    """ann_ivfadc_topk (rows-only): deterministic; mean recall vs the
+    exact top-5 is >= flat-PQ's (the routed scan must not cost recall
+    on the fixture); reported l2 is the true distance; and the probed-
+    cell filter sits BEFORE the ADC projection in the optimized plan —
+    the property that makes stage 1 a partition-pruned scan instead of
+    a full one at 10^12 rows."""
+    from distributed_system___ocr_spark.plans import REGISTRY
+
+    builder = REGISTRY["ann_ivfadc_topk"]["builder"]
+    df = builder(spark, SF)
+    rows = df.collect()
+    again = builder(spark, SF).collect()
+    key = lambda r: (r["query_id"], r["rnk"], r["neighbor_id"], r["l2_dist"])
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+
+    ids, V = _vectors()
+
+    def mean_recall(res):
+        top = {}
+        for r in res:
+            top.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recalls = []
+        for qid, got in top.items():
+            q = V[ids == qid][0]
+            d = ((V - q) ** 2).sum(axis=1)
+            d[ids == qid] = np.inf
+            exact5 = set(ids[np.argsort(d, kind="stable")][:5].tolist())
+            recalls.append(len(exact5 & got) / 5)
+        return sum(recalls) / len(recalls)
+
+    flat = REGISTRY["ann_pq_topk"]["builder"](spark, SF).collect()
+    assert mean_recall(rows) >= mean_recall(flat)
+
+    for r in rows:  # exact re-rank really reports true L2
+        q = V[ids == r["query_id"]][0]
+        true = float(((V[ids == r["neighbor_id"]][0] - q) ** 2).sum())
+        assert abs(r["l2_dist"] - true) < 1e-4
+
+    # plan shape: the probed-cell routing filter (Filter ... INSET /
+    # IN over the cell kernel) sits BELOW the ADC Generate and the
+    # codes kernel in the optimized tree (printed later = executed
+    # earlier): scoring never sees unprobed cells, and on a stored
+    # cell-partitioned index this is partition pruning.
+    lines = (
+        df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    )
+    i_route = next(
+        i
+        for i, l in enumerate(lines)
+        if "Filter" in l and ("INSET" in l or " IN (" in l)
+        and "query_id" not in l and "vec_id" not in l
+    )
+    i_adc = next(i for i, l in enumerate(lines) if "Generate explode" in l)
+    i_codes = next(i for i, l in enumerate(lines) if "codes(" in l)
+    assert i_route > i_adc and i_route > i_codes, (i_route, i_adc, i_codes)
