@@ -11,8 +11,11 @@ must reproduce it bit-for-bit; that shape inflates each document into
 - tokens: whitespace split, empties dropped (same as the oracle op);
 - shingles: word trigrams, but hashed ARITHMETICALLY from the three
   token hashes (no shingle string is ever materialized);
-- token hash: pandas' vectorized 64-bit string hash (deterministic:
-  fixed default hash_key, no per-process salt);
+- token hash: OWN versioned implementation (FNV-1a over UTF-8 bytes +
+  splitmix64 finisher, TOKEN_HASH_VERSION below) — pd.util.hash_array
+  was stable within a run but not contractually stable across pandas
+  versions, which silently broke the cross-run determinism the
+  rows-only registry checks rely on (round-3 advice);
 - signature_j = min over shingles of (a_j * s + b_j mod 2^64), with
   (a_j, b_j) fixed splitmix64-derived constants (no runtime RNG);
 - band value b = mix(sig_{2b}, sig_{2b+1}) — one int64 per band.
@@ -39,6 +42,39 @@ N_HASHES = 128
 BAND_SIZE = 8  # 16 bands x 8 rows
 
 _M64 = 0xFFFFFFFFFFFFFFFF
+
+# Version of the token-hash algorithm below. Signatures/band values are
+# a deterministic function of (TOKEN_HASH_VERSION, N_HASHES, BAND_SIZE,
+# K); changing ANY of them changes every signature, so bump this and
+# re-derive any persisted band/bucket artifacts together (same
+# discipline as extractor.core.EXTRACTOR_VERSION).
+TOKEN_HASH_VERSION = 1
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _hash_bytes_u64(tokens) -> np.ndarray:
+    """Vectorized 64-bit hash of a sequence of strings: FNV-1a over
+    the UTF-8 bytes, then a splitmix64 finisher for avalanche. Owned
+    here so the value is pinned by TOKEN_HASH_VERSION, not by whatever
+    pandas ships. Work is O(total bytes): the position loop indexes
+    only tokens still longer than p."""
+    enc = [t.encode("utf-8") for t in tokens]
+    n = len(enc)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n:
+        lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+        if int(lens.max(initial=0)) > 0:
+            buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+            offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            for p in range(int(lens.max())):
+                mask = lens > p
+                idx = offs[mask] + p
+                h[mask] = (h[mask] ^ buf[idx].astype(np.uint64)) * _FNV_PRIME
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
 
 
 def _splitmix64(x: int) -> int:
@@ -77,7 +113,11 @@ def minhash_signatures(texts: "pd.Series | list[str]") -> list[np.ndarray]:
     for toks in tok_lists:
         flat[pos : pos + len(toks)] = toks
         pos += len(toks)
-    th = pd.util.hash_array(flat).astype(np.uint64)  # vectorized, stable key
+    # hash only the UNIQUE tokens (corpora repeat tokens heavily),
+    # then gather — factorize's first-occurrence coding is a stable
+    # pandas contract, the hash itself is ours (TOKEN_HASH_VERSION)
+    codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+    th = _hash_bytes_u64(uniques)[codes]
 
     # shingle hashes on the flat array; positions crossing a doc
     # boundary are invalidated below

@@ -11,12 +11,35 @@ Semantics matched to DuckDB's ``ASOF LEFT JOIN ... ON l.k = r.k AND
 l.ts >= r.ts``: for each left row, the right row with the greatest
 ts <= left.ts; exact-ts matches count; ties on right ts broken by the
 largest order column value (documented, deterministic).
+
+Row atomicity: the matched right row is carried as ONE struct through
+every window/aggregate and coalesced once before unpacking, so all
+``{prefix}{col}`` outputs come from the SAME right row even when some
+right columns are legitimately NULL (a per-column
+``last(ignorenulls)`` would let a NULL field skip back to an OLDER
+row's value — the round-3 advice finding; pinned by
+tests/test_scale_properties.py's nullable-column fixture).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_ROW = "_asof_row"
+
+
+def _right_struct(ts: str, right_cols: list[str], prefix: str):
+    """The carried right row as one struct (null on the left side)."""
+    return F.struct(
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        F.col(ts).alias(f"{prefix}{ts}"),
+    )
+
+
+def _unpack(struct_col, ts: str, right_cols: list[str], prefix: str):
+    carried = [f"{prefix}{c}" for c in right_cols] + [f"{prefix}{ts}"]
+    return [struct_col.getField(c).alias(c) for c in carried]
 
 
 def asof_join(
@@ -33,13 +56,9 @@ def asof_join(
     lcols = left.columns
     tagged_l = left.withColumn("_side", F.lit(1))
     tagged_r = right.select(
-        key, ts, *[F.col(c).alias(f"{prefix}{c}") for c in right_cols]
+        F.col(key), F.col(ts), _right_struct(ts, right_cols, prefix).alias(_ROW)
     ).withColumn("_side", F.lit(0))
-    carried = [f"{prefix}{c}" for c in right_cols] + [f"{prefix}{ts}"]
-    unioned = tagged_l.unionByName(
-        tagged_r.withColumn(f"{prefix}{ts}", F.col(ts)),
-        allowMissingColumns=True,
-    )
+    unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
     # right rows sort before left rows at equal ts (exact matches count)
     w = (
         Window.partitionBy(key)
@@ -49,12 +68,11 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         "_side",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
-            for c in carried
-        ],
+        F.last(F.col(_ROW), ignorenulls=True).over(w).alias(_ROW),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return filled.filter(F.col("_side") == 1).select(
+        *lcols, *_unpack(F.col(_ROW), ts, right_cols, prefix)
+    )
 
 
 _DAY_US = 24 * 3600 * 1_000_000
@@ -84,14 +102,14 @@ def asof_join_salted(
     3. carry-forward: a per-key window over bucket summaries (left
        bucket markers sort BEFORE right summaries of the same bucket,
        so a left bucket only ever sees strictly-earlier buckets);
-    4. fix-up join on (key, bucket): local match wins, else the carry.
+    4. fix-up join on (key, bucket): local match wins, else the carry —
+       decided ONCE on the whole carried struct, never per column.
 
     Exact for any bucket size: buckets partition time, so an in-bucket
     match always postdates every earlier-bucket candidate. Hot-key
     fixture equality vs asof_join is pinned in
     tests/test_scale_properties.py."""
     lcols = left.columns
-    carried = [f"{prefix}{c}" for c in right_cols] + [f"{prefix}{ts}"]
 
     def bucket(col: str):
         return F.floor(
@@ -103,9 +121,10 @@ def asof_join_salted(
     )
     tagged_r = (
         right.select(
-            key, ts, *[F.col(c).alias(f"{prefix}{c}") for c in right_cols]
+            F.col(key),
+            F.col(ts),
+            _right_struct(ts, right_cols, prefix).alias(_ROW),
         )
-        .withColumn(f"{prefix}{ts}", F.col(ts))
         .withColumn("_b", bucket(ts))
         .withColumn("_side", F.lit(0))
     )
@@ -119,14 +138,11 @@ def asof_join_salted(
         *lcols,
         "_b",
         "_side",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
-            for c in carried
-        ],
+        F.last(F.col(_ROW), ignorenulls=True).over(w).alias(_ROW),
     ).filter(F.col("_side") == 1).drop("_side")
 
     summ = tagged_r.groupBy(key, "_b").agg(
-        *[F.max_by(F.col(c), F.col(ts)).alias(c) for c in carried]
+        F.max_by(F.col(_ROW), F.col(ts)).alias(_ROW)
     )
     left_buckets = (
         local.select(key, "_b").distinct().withColumn("_bs", F.lit(0))
@@ -144,22 +160,12 @@ def asof_join_salted(
             key,
             "_b",
             "_bs",
-            *[
-                F.last(F.col(c), ignorenulls=True)
-                .over(wb).alias(f"_carry_{c}")
-                for c in carried
-            ],
+            F.last(F.col(_ROW), ignorenulls=True).over(wb).alias("_carry"),
         )
         .filter(F.col("_bs") == 0)
         .drop("_bs")
     )
-    return (
-        local.join(carry, [key, "_b"], "left")
-        .select(
-            *lcols,
-            *[
-                F.coalesce(F.col(c), F.col(f"_carry_{c}")).alias(c)
-                for c in carried
-            ],
-        )
+    matched = F.coalesce(F.col(_ROW), F.col("_carry"))
+    return local.join(carry, [key, "_b"], "left").select(
+        *lcols, *_unpack(matched, ts, right_cols, prefix)
     )

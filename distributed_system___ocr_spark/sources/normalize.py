@@ -29,7 +29,11 @@ _CANON = [
 # these at import time would break Spark-less imports of the package
 def _defaults():
     return {
-        "warc_ts": F.lit("1970-01-01 00:00:00").cast("timestamp"),
+        # timestamp_seconds(0) is the epoch in ANY session timezone —
+        # a string literal cast shifts with spark.sql.session.timeZone
+        # (this is a public boundary API, also reachable from
+        # externally-created non-UTC sessions)
+        "warc_ts": F.timestamp_seconds(F.lit(0)),
         "html": F.lit(None).cast("binary"),
         "text": F.lit(""),
         "lang": F.lit(""),
@@ -56,6 +60,19 @@ def normalize_pages(df: DataFrame) -> DataFrame:
             f"pages input lacks required column(s) {sorted(missing_req)}; "
             f"got {sorted(have)}"
         )
+    # string->timestamp casting is session-timezone dependent; the
+    # engine's own sessions pin UTC (session.get_spark), but this is a
+    # public boundary API — fail loud rather than silently shift
+    # timestamps parsed under an externally-created non-UTC session.
+    if have.get("warc_ts") == "string":
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT"):
+            raise ValueError(
+                "normalize_pages parses string warc_ts with the session "
+                f"timezone, which is {tz!r}; set spark.sql.session."
+                "timeZone=UTC (session.get_spark does) or pre-cast the "
+                "column"
+            )
     defaults = _defaults()
     cols = []
     for name, dtype in _CANON:

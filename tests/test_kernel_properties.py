@@ -68,3 +68,32 @@ def test_adc_tables_match_direct_distance(vectors):
             assert abs(tables[j][c] - want) < 1e-9
     # the query's own block distance is exactly zero
     assert tables[0][0] == 0.0 and tables[1][0] == 0.0
+
+
+def test_token_hash_is_pinned_by_version_not_by_library():
+    """TOKEN_HASH_VERSION=1 pins the exact algorithm: FNV-1a over
+    UTF-8 bytes then a splitmix64 finisher. The reference here is an
+    independent pure-Python int implementation — if a numpy/pandas
+    upgrade (or a refactor) changes any produced value, this fails and
+    the version must be bumped with persisted artifacts re-derived."""
+    import numpy as np
+
+    from distributed_system___ocr_spark.functions.minhash import (
+        TOKEN_HASH_VERSION,
+        _hash_bytes_u64,
+    )
+
+    assert TOKEN_HASH_VERSION == 1
+    M = (1 << 64) - 1
+
+    def ref(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in s.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & M
+        h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & M
+        h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & M
+        return h ^ (h >> 31)
+
+    toks = ["a", "bc", "the", "naïve", "東京", "tok4711", "", "a" * 300]
+    got = _hash_bytes_u64(np.array(toks, dtype=object))
+    assert [int(x) for x in got] == [ref(t) for t in toks]

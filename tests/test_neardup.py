@@ -36,12 +36,24 @@ TEXTS = [
 ]
 
 
+def _fnv_splitmix(s: str) -> int:
+    """Independent pure-int token hash (the TOKEN_HASH_VERSION=1
+    contract: FNV-1a over UTF-8 + splitmix64 finisher)."""
+    M = (1 << 64) - 1
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & M
+    h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & M
+    h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & M
+    return h ^ (h >> 31)
+
+
 def _naive_signature(text: str) -> np.ndarray:
     """Reference implementation: explicit shingle loop, same hashes."""
     toks = text.split()
     if len(toks) < K:
         return np.empty(0, dtype=np.uint64)
-    th = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
+    th = np.array([_fnv_splitmix(t) for t in toks], dtype=np.uint64)
     sigs = np.full(N_HASHES, np.iinfo(np.uint64).max, dtype=np.uint64)
     for i in range(len(toks) - K + 1):
         s = th[i] * _C1 ^ th[i + 1] * _C2 ^ th[i + 2] * _C3

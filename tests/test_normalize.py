@@ -75,3 +75,31 @@ def test_missing_url_rejected(spark):
     df = spark.createDataFrame(pd.DataFrame({"html": ["<p>x</p>"]}))
     with pytest.raises(ValueError, match="required column"):
         normalize_pages(df)
+
+
+def test_default_epoch_is_timezone_independent_and_non_utc_rejected(spark):
+    """The warc_ts default is timestamp_seconds(0) — the true epoch in
+    any session timezone — and parsing a STRING warc_ts under a
+    non-UTC session fails loud instead of silently shifting (round-3
+    advice: this is a public boundary API reachable from externally-
+    created sessions)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # no warc_ts column: default must still be the exact epoch
+        out = normalize_pages(
+            spark.createDataFrame([("u1",)], ["url"])
+        ).select(F.unix_micros("warc_ts").alias("us")).collect()
+        assert out[0]["us"] == 0
+        # string warc_ts under non-UTC: refuse
+        with pytest.raises(ValueError, match="timeZone"):
+            normalize_pages(
+                spark.createDataFrame(
+                    [("u1", "2024-01-01 00:00:00")], ["url", "warc_ts"]
+                )
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)

@@ -181,6 +181,13 @@ def test_salted_sessionize_equals_plain_under_hot_key(spark):
         for _ in range(10):
             cur += dt.timedelta(minutes=rng.choice([2, 45, 700]))
             add(u, cur)
+    # NULL-timestamp rows (round-3 advice): both forms must treat the
+    # NULL bucket identically — mixed with real events and NULL-only
+    add(203, None)
+    add(203, None)
+    add(203, dt.datetime(2024, 2, 1, 12, 0))
+    add(203, dt.datetime(2024, 2, 1, 12, 10))
+    add(204, None)
 
     import tempfile
 
@@ -275,3 +282,47 @@ def test_salted_asof_equals_plain_under_hot_key(spark):
     assert by_id[4]["asof_event_id"] is None
     assert by_id[1]["asof_event_id"] == 2  # exact-ts match counts
     assert by_id[3]["asof_event_id"] == 2  # carried across empty days
+
+
+def test_asof_carries_nullable_right_columns_atomically(spark):
+    """When the matched right row has a legitimately-NULL column, the
+    output must keep that NULL — a per-column last(ignorenulls) would
+    stitch the NULL field from an OLDER right row (round-3 advice
+    finding). Exercised on both physical forms, with the null-valued
+    match hit via the in-bucket window AND via the cross-bucket carry."""
+    from distributed_system___ocr_spark.operators.asof import (
+        asof_join,
+        asof_join_salted,
+    )
+
+    purchases = [
+        # older purchase with a value, newer one with NULL value
+        {"event_id": 1, "user_id": 1,
+         "ts": dt.datetime(2024, 1, 1, 9), "value": 5.0},
+        {"event_id": 2, "user_id": 1,
+         "ts": dt.datetime(2024, 1, 1, 10), "value": None},
+        # same shape for user 2, but the click lands days later so the
+        # salted form must deliver the NULL through the bucket carry
+        {"event_id": 3, "user_id": 2,
+         "ts": dt.datetime(2024, 1, 1, 9), "value": 7.0},
+        {"event_id": 4, "user_id": 2,
+         "ts": dt.datetime(2024, 1, 2, 10), "value": None},
+    ]
+    clicks = [
+        {"event_id": 10, "user_id": 1, "ts": dt.datetime(2024, 1, 1, 11)},
+        {"event_id": 11, "user_id": 2, "ts": dt.datetime(2024, 1, 5, 8)},
+    ]
+    cdf = spark.createDataFrame(pd.DataFrame(clicks))
+    pdf_ = spark.createDataFrame(
+        pd.DataFrame(purchases).astype({"value": "float64"})
+    )
+    for form in (asof_join, asof_join_salted):
+        got = {
+            r["event_id"]: (r["asof_event_id"], r["asof_value"])
+            for r in form(
+                cdf, pdf_, key="user_id", ts="ts",
+                right_cols=["event_id", "value"],
+            ).collect()
+        }
+        assert got[10] == (2, None), (form.__name__, got)
+        assert got[11] == (4, None), (form.__name__, got)
