@@ -52,6 +52,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="maintenance mode: rewrite all committed runs in --output "
         "into one compacted snapshot (no input read)",
     )
+    p.add_argument(
+        "--curate", action="store_true",
+        help="curation mode: --input is an EXTRACTION output dir; "
+        "chains exact dedup -> near-dup prune (MinHash/LSH + connected "
+        "components) -> chunk -> greedy packing into --output, with "
+        "lineage and a no-op resume over an unchanged corpus",
+    )
+    p.add_argument("--chunk-size", type=int, default=2048)
+    p.add_argument("--chunk-stride", type=int, default=1792)
+    p.add_argument("--pack-target", type=int, default=8192)
     p.add_argument("--output", required=True, help="output/checkpoint dir")
     p.add_argument("--run-id", required=True, help="unique id for this run")
     p.add_argument(
@@ -88,6 +98,26 @@ def main(argv: list[str] | None = None) -> int:
         snap = compact(spark, args.output)
         print(json.dumps({"compacted_snapshot": snap,
                           "wall_sec": round(time.monotonic() - t0, 3)}))
+        spark.stop()
+        return 0
+    if args.curate:
+        if not args.input:
+            raise SystemExit("--curate requires --input (an extraction "
+                             "output dir)")
+        from .curation import run_curation
+        from .pipeline import read_extracted
+
+        info = run_curation(
+            spark,
+            read_extracted(spark, args.input),
+            args.output,
+            run_id=args.run_id,
+            chunk_size=args.chunk_size,
+            chunk_stride=args.chunk_stride,
+            pack_target=args.pack_target,
+        )
+        info["wall_sec"] = round(time.monotonic() - t0, 3)
+        print(json.dumps(info))
         spark.stop()
         return 0
     if args.synthetic:

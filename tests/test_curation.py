@@ -1,0 +1,180 @@
+"""End-to-end curation pipeline (curation.run_curation + cli --curate):
+the chained dataflow the registry operators previously only exposed
+one hop at a time — mirroring the reference manager chaining its whole
+pipeline (Manager.java:326-348 -> 250-293)."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_system___ocr_spark.curation import (
+    load_curation_snapshot,
+    read_curated,
+    run_curation,
+)
+
+def _text(i: int) -> str:
+    # per-doc-unique token stream: originals share (almost) no 3-token
+    # shingle with each other, so the only near-dup pairs above the
+    # (128, 8)-banding ~0.75 jaccard threshold are the injected clones
+    body = " ".join(f"w{i:03d}q{j:02d}" for j in range(80))
+    return f"document {i:03d} mentions a dog here {body}"
+
+
+def _docs(spark, n=40, extra=()):
+    rows = []
+    for i in range(n):
+        rows.append(
+            {"url": f"https://ex.com/d{i:03d}",
+             "text": _text(i), "lang": "en" if i % 3 else "fr"}
+        )
+    # exact clones of every 8th doc (different url, identical text)
+    for i in range(0, n, 8):
+        rows.append(
+            {"url": f"https://mirror.com/d{i:03d}",
+             "text": _text(i), "lang": "en" if i % 3 else "fr"}
+        )
+    # near-dup clones of every 10th doc (one word changed out of ~85)
+    for i in range(0, n, 10):
+        rows.append(
+            {"url": f"https://scrape.com/d{i:03d}",
+             "text": _text(i).replace("dog", "cat"),
+             "lang": "en" if i % 3 else "fr"}
+        )
+    # blank row (must be filtered, not clustered)
+    rows.append({"url": "https://ex.com/blank", "text": "", "lang": "en"})
+    rows.extend(extra)
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_curation_end_to_end_drops_all_clones(spark, tmp_path):
+    out = str(tmp_path / "cur")
+    docs = _docs(spark)
+    info = run_curation(spark, docs, out, run_id="c1")
+
+    # every injected clone url is gone; every original survives
+    survivors = {r["url"] for r in read_curated(spark, out).collect()}
+    assert not any(u.startswith("https://mirror.com") for u in survivors)
+    assert not any(u.startswith("https://scrape.com") for u in survivors)
+    assert "https://ex.com/blank" not in survivors
+    assert survivors == {f"https://ex.com/d{i:03d}" for i in range(40)}
+
+    # the near-dup gate actually fired (not a 0-pair pass)
+    assert info["n_after_exact_dedup"] > info["n_survivors"]
+    assert info["n_input"] > info["n_after_exact_dedup"]
+
+    # lineage records every stage with consistent drop accounting
+    lin = {
+        r["stage"]: (r["n_in"], r["n_out"], r["n_dropped"])
+        for r in spark.read.parquet(info["lineage_path"]).collect()
+    }
+    assert lin["exact_dedup"] == (
+        info["n_input"], info["n_after_exact_dedup"],
+        info["n_input"] - info["n_after_exact_dedup"],
+    )
+    assert lin["neardup_prune"][1] == info["n_survivors"]
+    assert lin["chunk"][1] == info["n_chunks"]
+
+    # chunks tile the survivors: stitching de-overlapped chunks in
+    # order reconstructs each text byte-for-byte
+    packed = spark.read.parquet(info["packed_path"]).collect()
+    by_url: dict[str, list] = {}
+    for r in packed:
+        by_url.setdefault(r["url"], []).append((r["chunk_idx"], r["chunk"]))
+    texts = {r["url"]: r["text"] for r in read_curated(spark, out).collect()}
+    for url, chunks in by_url.items():
+        chunks.sort()
+        stitched = chunks[0][1]
+        for idx, chunk in chunks[1:]:
+            stitched = stitched[: idx * 1792] + chunk
+        assert stitched == texts[url], url
+
+    # packing: bins are budget-bounded and ids contiguous per lang
+    bins: dict[tuple, int] = {}
+    for r in packed:
+        bins[(r["lang"], r["bin_id"])] = (
+            bins.get((r["lang"], r["bin_id"]), 0) + r["n_chars"]
+        )
+    for (lang, b), total in bins.items():
+        assert total <= 8192 + 2048, (lang, b, total)
+    for lang in {k[0] for k in bins}:
+        ids = sorted(b for l, b in bins if l == lang)
+        assert ids == list(range(len(ids))), (lang, ids)
+
+
+def test_curation_resume_noop_and_replay_guard(spark, tmp_path):
+    out = str(tmp_path / "cur2")
+    docs = _docs(spark, n=20)
+    info1 = run_curation(spark, docs, out, run_id="c1")
+    assert "skipped_noop" not in info1
+
+    # unchanged corpus, fresh run_id -> completion barrier no-op
+    info2 = run_curation(spark, docs, out, run_id="c2")
+    assert info2.get("skipped_noop") is True
+    assert info2["survivors_path"] is None
+    assert load_curation_snapshot(out)["latest_run"] == "c1"
+
+    # replaying a committed run_id is rejected
+    with pytest.raises(ValueError, match="already committed"):
+        run_curation(spark, docs, out, run_id="c1")
+
+    # a CHANGED corpus re-curates into a new snapshot
+    more = _docs(
+        spark, n=20,
+        extra=[{"url": "https://ex.com/new", "lang": "en",
+                "text": "a genuinely novel document with plenty of "
+                        "fresh words that no other text shares in any "
+                        "shingle of three consecutive tokens anywhere"}],
+    )
+    info3 = run_curation(spark, more, out, run_id="c3")
+    assert "skipped_noop" not in info3
+    snap = load_curation_snapshot(out)
+    assert snap["latest_run"] == "c3" and snap["n"] == 1
+    assert "https://ex.com/new" in {
+        r["url"] for r in read_curated(spark, out).collect()
+    }
+
+
+def test_cli_curate_runs_extract_then_curation(spark, tmp_path):
+    """spark-submit surface: extract with the normal CLI, then --curate
+    over the extraction output — the reference's one-command chained
+    dataflow. Each CLI call runs in a fresh subprocess JVM (the CLI
+    owns and stops its session, same protocol as test_cli.py)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def _run_cli(*args):
+        env = dict(os.environ, PYTHONPATH=repo, SPARK_GRAFT_CPUS="4")
+        out = subprocess.run(
+            [sys.executable, "-m",
+             "distributed_system___ocr_spark.cli", *args],
+            capture_output=True, text=True, timeout=300, env=env,
+            cwd="/tmp",
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    ex_out = str(tmp_path / "ex")
+    cur_out = str(tmp_path / "cur")
+    _run_cli("--synthetic", "400", "--output", ex_out, "--run-id", "e1",
+             "--no-manifest")
+    info = _run_cli("--curate", "--input", ex_out, "--output", cur_out,
+                    "--run-id", "c1")
+    assert info["n_survivors"] > 0
+    assert info["n_chunks"] >= info["n_survivors"]
+    assert info["wall_sec"] > 0
+    got = read_curated(spark, cur_out)
+    assert got.filter(F.length("text") == 0).count() == 0
+    assert got.count() == info["n_survivors"]
+    lin = {
+        r["stage"]: r for r in
+        spark.read.parquet(info["lineage_path"]).collect()
+    }
+    assert lin["input"]["n_in"] == info["n_input"]
