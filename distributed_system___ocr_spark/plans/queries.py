@@ -346,7 +346,7 @@ _SESSIONIZE_SQL = """
                     ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_sess
-        FROM events
+        FROM events WHERE ts IS NOT NULL
       )
     ) GROUP BY user_id
     """
@@ -355,7 +355,10 @@ _SESSIONIZE_SQL = """
 @register("sessionize_events", _SESSIONIZE_SQL)
 def sessionize_events(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = _t(spark, sf_dir, "events")
+    # NULL-ts events are unorderable (and Spark NULLS FIRST vs DuckDB
+    # NULLS LAST would diverge): excluded from sessionization, in both
+    # forms and the oracle alike
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     # microsecond precision to match DuckDB's exact interval compare
     # (ts is TIMESTAMP_NTZ in the parquet; unix_micros needs TIMESTAMP
     # and the session TZ is pinned UTC, so the cast is lossless)
@@ -392,7 +395,9 @@ def sessionize_events_salted(spark, sf_dir):
     comparisons use real timestamps, so empty buckets need no special
     case. Hot-key fixture equality is pinned in
     tests/test_scale_properties.py."""
-    ev = _t(spark, sf_dir, "events")
+    # same NULL-ts exclusion as the plain form (a NULL bucket would
+    # otherwise count every NULL-ts event as its own session)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     bucketed = ev.select(
         "user_id", "ts", "event_id", us.alias("us"),

@@ -60,6 +60,34 @@ def windowed_event_counts_stream(
     return spark.table(table_name)
 
 
+def _windowed_append_agg(
+    spark: SparkSession,
+    events_path: str,
+    delay: str,
+    source_options: dict | None,
+) -> DataFrame:
+    """The shared append-mode plan: watermarked 5-minute tumbling
+    windows over the events stream (used by both the memory-sink test
+    form and the parquet file-sink production form)."""
+    stream = _stream_parquet(spark, events_path, source_options)
+    return (
+        # parquet TIMESTAMP_NTZ -> TIMESTAMP: watermarks need an
+        # instant-typed event-time column
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
 def windowed_event_counts_append_stream(
     spark: SparkSession,
     events_path: str,
@@ -80,23 +108,7 @@ def windowed_event_counts_append_stream(
     pinned by tests/test_properties.py late-row test. Deterministic
     here because the bounded source arrives in one micro-batch and the
     trailing no-data micro-batch advances the watermark to final."""
-    stream = _stream_parquet(spark, events_path, source_options)
-    agg = (
-        # parquet TIMESTAMP_NTZ -> TIMESTAMP: watermarks need an
-        # instant-typed event-time column
-        stream.withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", delay)
-        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("double").alias("total_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type", "n", "total_value",
-        )
-    )
+    agg = _windowed_append_agg(spark, events_path, delay, source_options)
     for q in spark.streams.active:
         if q.name == table_name:
             q.stop()
@@ -111,6 +123,50 @@ def windowed_event_counts_append_stream(
     finally:
         q.stop()
     return spark.table(table_name)
+
+
+def windowed_event_counts_append_to_parquet(
+    spark: SparkSession,
+    events_path: str,
+    out_dir: str,
+    delay: str = "10 minutes",
+    source_options: dict | None = None,
+    query_name: str = "stream_win_counts_parquet",
+) -> DataFrame:
+    """The append-mode windowed aggregation writing to a REAL sink:
+    Spark's native exactly-once parquet file sink (the memory sink in
+    :func:`windowed_event_counts_append_stream` is test plumbing). Each
+    finalized window lands on disk exactly once; the sink's
+    ``_spark_metadata`` commit log plus the ``checkpointLocation``
+    offset log make a killed-and-restarted stream resume without
+    duplicating or dropping output files — the streaming twin of the
+    batch pipeline's atomic snapshot commit (reference O9/O14,
+    Manager.java poll-loop redelivery). Returns the committed on-disk
+    result (read back THROUGH the metadata log, so uncommitted
+    stragglers are invisible)."""
+    import os
+
+    agg = _windowed_append_agg(spark, events_path, delay, source_options)
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+    data_dir = os.path.join(out_dir, "data")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", data_dir)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # explicit schema: a stream whose watermark never finalized any
+    # window commits zero files, which must read back as 0 rows, not
+    # fail schema inference
+    return spark.read.schema(agg.schema).parquet(data_dir)
 
 
 def extract_foreach_batch(

@@ -201,6 +201,26 @@ def test_salted_sessionize_equals_plain_under_hot_key(spark):
               for r in sessionize_events_salted(spark, sf_dir).collect()}
     assert plain == salted
 
+    # NULL-ts contract (round-3 advice): unorderable events are
+    # excluded from sessionization in both forms AND the oracle
+    # (Spark NULLS FIRST vs DuckDB NULLS LAST would otherwise
+    # diverge). User 204 had only NULL-ts events -> absent; user
+    # 203's two NULL rows don't count.
+    assert (203, 1, 2) in plain
+    assert not any(u == 204 for u, *_ in plain)
+
+    import duckdb
+
+    from distributed_system___ocr_spark.plans.queries import _SESSIONIZE_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+    )
+    oracle = {(r[0], r[1], r[2]) for r in
+              con.execute(_SESSIONIZE_SQL).fetchall()}
+    assert plain == oracle
+
     # the skew actually split: the hot user's events span many
     # (user, bucket) window partitions instead of one
     from distributed_system___ocr_spark.plans.queries import (
