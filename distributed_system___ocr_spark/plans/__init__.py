@@ -2,6 +2,7 @@
 
 from .queries import REGISTRY, oracle_sql, queries
 from . import (  # noqa: F401
+    curationops,
     extractops,
     mediaops,
     relops2,

@@ -1,0 +1,277 @@
+"""Training-data curation operators, round 4: corpus-level quality and
+mixture signals — cross-doc boilerplate fraction, temperature-based
+language rebalancing, unigram-LM quality scoring, and SemDeDup
+(k-means-cell + cosine) semantic near-dup pairs.
+
+Each oracled query is a (Spark builder, DuckDB oracle) pair over
+``documents``/``embeddings``; ``semdedup_pairs`` composes the trained
+k-means quantizer with a within-cell cosine join (iterative training,
+hence rows-only — pinned by tests/test_curationops.py invariants).
+
+Cross-engine determinism: decimal-exact log-prob sums (per-term log
+rounded to 9 dp then summed as DECIMAL — order-independent, so Spark's
+shuffled partial aggregation and DuckDB's sequential scan agree
+bit-for-bit), integer md5-bucket sampling thresholds (no RNG), and
+round(x, 6) on every emitted double.
+
+The reference never curates its corpus (SURVEY §2d — it OCRs every url
+it is given, duplicates included); these are the LLM-pipeline
+capabilities layered on the same engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import _t, register
+
+# --------------------------------------------------------------------------
+# cross-doc boilerplate: fraction of a doc's 5-grams shared corpus-wide
+# --------------------------------------------------------------------------
+# The CCNet/RefinedWeb-style signal behind "remove boilerplate spans":
+# a 5-gram appearing in >= _CNG_MIN_DOCS distinct docs is template
+# text, not content. The synthetic corpus contains dup/near-dup docs,
+# so the gate provably fires. Scale shape: the gram explode is linear
+# in tokens; gram document-frequency is one partial+final aggregation;
+# the join back is gram-hash partitioned — nothing is all-pairs.
+
+_CNG_MIN_DOCS = 3
+_DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SPARK_TOKS = "filter(split(text, ' '), x -> x <> '')"
+
+
+@register(
+    "common_ngram_fraction",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 4),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                         t[i+3] || ' ' || t[i+4])) AS g
+      FROM toks WHERE len(t) >= 5
+    ),
+    gdf AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY g)
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN ndocs >= {_CNG_MIN_DOCS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_common,
+           round(sum(CASE WHEN ndocs >= {_CNG_MIN_DOCS} THEN 1 ELSE 0 END)
+                 / count(*), 6) AS common_frac
+    FROM grams JOIN gdf USING (g)
+    GROUP BY doc_id
+    """,
+)
+def common_ngram_fraction(spark, sf_dir):
+    """Per-doc fraction of distinct 5-grams that appear in >= K docs.
+    Token arrays staged once per row (the gopher lesson); grams
+    de-duplicated per doc BEFORE the document-frequency aggregation so
+    a within-doc repeat doesn't inflate ndocs."""
+    d = _t(spark, sf_dir, "documents")
+    s1 = d.select(
+        "doc_id", F.expr(_SPARK_TOKS).alias("t")
+    ).filter(F.size("t") >= 5)
+    gram = F.expr(
+        "transform(sequence(1, size(t) - 4), i -> concat_ws(' ', "
+        "element_at(t, i), element_at(t, i+1), element_at(t, i+2), "
+        "element_at(t, i+3), element_at(t, i+4)))"
+    )
+    grams = s1.select("doc_id", F.explode(gram).alias("g")).distinct()
+    gdf = grams.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    common = F.sum(
+        F.when(F.col("ndocs") >= _CNG_MIN_DOCS, 1).otherwise(0)
+    )
+    return (
+        grams.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            common.cast("long").alias("n_common"),
+            F.round(common / F.count("*"), 6).alias("common_frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# temperature-based language rebalancing (XLM-R style alpha sampling)
+# --------------------------------------------------------------------------
+# Multilingual mixture smoothing: sampling share per language
+# q_l ∝ p_l^alpha with alpha < 1 boosts low-resource languages. The
+# acceptance rate normalizes so the SMALLEST language keeps 100%:
+# r_l = (n_l / n_min)^(alpha-1) <= 1. Selection is the engine's
+# standard md5-bucket filter — stateless per row, no RNG, identical
+# keep-set on rerun/resume, and the integer threshold (rate * 10^6,
+# rounded) keeps the cross-engine comparison exact. The per-lang
+# counts are a tiny bounded aggregate (one row per language), safe to
+# broadcast at any corpus size.
+
+_TEMP_ALPHA = 0.3
+_DUCK_BUCKET1M = (
+    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " % 1000000)"
+)
+
+
+def _spark_bucket1m():
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % 1000000
+    )
+
+
+@register(
+    "temperature_sampled_corpus",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS n_min FROM c),
+    r AS (
+      SELECT lang,
+             CAST(round(pow(n / n_min, {_TEMP_ALPHA} - 1) * 1000000, 0)
+                  AS BIGINT) AS keep_thresh
+      FROM c, m
+    )
+    SELECT d.doc_id, d.lang, r.keep_thresh
+    FROM documents d JOIN r USING (lang)
+    WHERE {_DUCK_BUCKET1M} < r.keep_thresh
+    """,
+)
+def temperature_sampled_corpus(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").alias("n"))
+    m = c.agg(F.min("n").alias("n_min"))
+    r = c.crossJoin(F.broadcast(m)).select(
+        "lang",
+        F.round(
+            F.pow(F.col("n") / F.col("n_min"), _TEMP_ALPHA - 1) * 1000000,
+            0,
+        ).cast("long").alias("keep_thresh"),
+    )
+    return (
+        d.join(F.broadcast(r), "lang")
+        .filter(_spark_bucket1m() < F.col("keep_thresh"))
+        .select("doc_id", "lang", "keep_thresh")
+    )
+
+
+# --------------------------------------------------------------------------
+# unigram LM quality score (CCNet-style perplexity proxy)
+# --------------------------------------------------------------------------
+# Average per-token log-probability under the corpus's own unigram
+# model — the cheap stand-in for CCNet's KenLM perplexity filter.
+# Determinism: sum(double) is order-dependent, so each term's log-prob
+# is rounded to 9 dp and summed as DECIMAL(20,9) (exact, associative);
+# only the final per-doc average is re-rounded to 6 dp. The model side
+# (term -> ctf) is the same bounded-vocabulary shape as TF-IDF's df.
+
+@register(
+    "unigram_logprob_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS ctf FROM toks GROUP BY term),
+    tot AS (SELECT count(*) AS n_total FROM toks),
+    lp AS (
+      SELECT term,
+             CAST(round(ln(ctf / n_total), 9) AS DECIMAL(20,9)) AS logp
+      FROM tf, tot
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logprob
+    FROM toks JOIN lp USING (term)
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("ctf"))
+    tot = toks.agg(F.count("*").alias("n_total"))
+    lp = tf.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(F.log(F.col("ctf") / F.col("n_total")), 9)
+        .cast("decimal(20,9)").alias("logp"),
+    )
+    return (
+        toks.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum("logp").cast("double") / F.count("*"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic near-dup pairs via k-means cells + cosine
+# --------------------------------------------------------------------------
+# Abbas et al. (2023): cluster embeddings with k-means, compare pairs
+# only WITHIN a cell, flag pairs above a cosine threshold. The trained
+# quantizer is the same cached distributed-Lloyd's model the IVF ANN
+# path uses (operators/kmeans.py — deterministic, sampled-input
+# training), so this query costs one assignment pass plus
+# within-cell joins: sum over cells of c^2, never corpus^2 — the same
+# sub-quadratic structure as the MinHash band join. Iterative
+# training => rows-only for the driver; tests/test_curationops.py pins
+# determinism, cell locality, exact-numpy cosine agreement and
+# within-cell completeness.
+
+_SEMDEDUP_TAU = 0.3  # fixture vectors are near-orthogonal (max pair
+# cos ~0.45); a production-ish 0.9 would be a gate that never fires —
+# same rationale as embedding_near_dup's threshold.
+
+
+@register("semdedup_pairs", None)
+def semdedup_pairs(spark, sf_dir):
+    from ..operators.kmeans import kmeans_train
+    from .vectorops import (
+        _N_CELLS,
+        _TRAINED_CENTROIDS,
+        _emb_fingerprint,
+        _model_cache_get,
+        _spark_dot,
+        _spark_dvec,
+        ivf_cell_udf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _spark_dvec(F.col("embedding")).alias("v")
+    )
+    cents = _model_cache_get(
+        _TRAINED_CENTROIDS,
+        _emb_fingerprint(sf_dir),
+        lambda: kmeans_train(emb, k=_N_CELLS, iters=3),
+    )
+    assigned = emb.withColumn("cell", ivf_cell_udf(cents)(F.col("v")))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = _spark_dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(_spark_dot(F.col("a.v"), F.col("a.v")))
+        * F.sqrt(_spark_dot(F.col("b.v"), F.col("b.v")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _SEMDEDUP_TAU)
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.col("a.cell").alias("cell"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,123 @@
+"""Round-4 curation-signal queries: SemDeDup invariants (rows-only —
+these tests ARE its correctness gate) and gate-fires evidence for the
+oracled boilerplate/temperature-sampling queries."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from distributed_system___ocr_spark.plans.curationops import (
+    _SEMDEDUP_TAU,
+    semdedup_pairs,
+    temperature_sampled_corpus,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs_set(df):
+    return {
+        (r["a_id"], r["b_id"], r["cell"], r["cos_sim"])
+        for r in df.collect()
+    }
+
+
+def test_semdedup_complete_and_exact_within_cells(spark):
+    """The query must return EXACTLY the numpy-brute-forced qualifying
+    pairs under the same trained cell assignment: completeness (no
+    same-cell pair above tau missing), soundness (nothing below tau or
+    cross-cell), and cosine values matching exact float64 to 6 dp."""
+    from distributed_system___ocr_spark.operators.kmeans import kmeans_train
+    from distributed_system___ocr_spark.plans.vectorops import (
+        _N_CELLS,
+        _TRAINED_CENTROIDS,
+        _emb_fingerprint,
+        _model_cache_get,
+        _spark_dvec,
+        ivf_cell_udf,
+    )
+
+    got = _pairs_set(semdedup_pairs(spark, SF))
+    assert got, "gate never fired: zero semantic near-dup pairs"
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", _spark_dvec(F.col("embedding")).alias("v")
+    )
+    cents = _model_cache_get(
+        _TRAINED_CENTROIDS,
+        _emb_fingerprint(SF),
+        lambda: kmeans_train(emb, k=_N_CELLS, iters=3),
+    )
+    rows = (
+        emb.withColumn("cell", ivf_cell_udf(cents)(F.col("v")))
+        .collect()
+    )
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(
+            (r["vec_id"], np.asarray(r["v"], dtype=np.float64))
+        )
+    expected = set()
+    for cell, members in by_cell.items():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (ai, av), (bi, bv) = members[i], members[j]
+                cos = float(
+                    av @ bv / (np.sqrt(av @ av) * np.sqrt(bv @ bv))
+                )
+                if cos >= _SEMDEDUP_TAU:
+                    expected.add((ai, bi, cell, round(cos, 6)))
+    assert got == expected
+
+
+def test_semdedup_deterministic_across_invocations(spark):
+    assert _pairs_set(semdedup_pairs(spark, SF)) == _pairs_set(
+        semdedup_pairs(spark, SF)
+    )
+
+
+def test_common_ngram_gate_fires(spark):
+    """The corpus's dup/near-dup docs must produce nonzero cross-doc
+    common grams — a 0-common pass is not evidence (round-1 lesson)."""
+    from distributed_system___ocr_spark.plans.curationops import (
+        common_ngram_fraction,
+    )
+
+    res = common_ngram_fraction(spark, SF)
+    assert res.filter(F.col("n_common") > 0).count() > 0
+    # frac bounded and consistent
+    bad = res.filter(
+        (F.col("common_frac") < 0) | (F.col("common_frac") > 1)
+        | (F.col("n_common") > F.col("n_grams"))
+    )
+    assert bad.count() == 0
+
+
+def test_temperature_sampling_rebalances(spark):
+    """Alpha < 1 must downsample the dominant language while keeping
+    the smallest language in full — and the keep set must be the
+    deterministic md5-bucket one (stable across invocations)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    in_counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    out = temperature_sampled_corpus(spark, SF)
+    out_counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    min_lang = min(in_counts, key=lambda k: in_counts[k])
+    max_lang = max(in_counts, key=lambda k: in_counts[k])
+    # smallest language: keep_thresh == 10^6 -> every doc kept
+    assert out_counts[min_lang] == in_counts[min_lang]
+    # dominant language provably downsampled, but not emptied
+    assert 0 < out_counts[max_lang] < in_counts[max_lang]
+    # every language still represented
+    assert set(out_counts) == set(in_counts)
+    # deterministic: same keep set on re-run
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in temperature_sampled_corpus(spark, SF).collect()}
+    assert a == b
