@@ -216,6 +216,89 @@ def unigram_logprob_score(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# DSIR importance weights (data selection for language models)
+# --------------------------------------------------------------------------
+# Xie et al. 2023: score each raw doc by how much more likely its
+# tokens are under a TARGET distribution than under the raw-source
+# distribution — importance = sum over tokens of
+# log(p_target(t) / p_source(t)), add-1 smoothed so source-only terms
+# stay finite. The target here is the deterministic doc_id % 50 == 0
+# slice (the same "benchmark" slice decontamination uses), making the
+# gate provably discriminative: docs sharing vocabulary with the slice
+# score higher. Scale shape: both unigram models are bounded-
+# vocabulary aggregates; scoring is one hash join on term + a
+# decimal-exact per-doc sum — the identical machinery as
+# unigram_logprob_score, so the determinism argument carries over.
+
+@register(
+    "dsir_importance_weight",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+    ),
+    vocab AS (SELECT count(DISTINCT term) AS v FROM toks),
+    tgt AS (
+      SELECT term, count(*) AS ct FROM toks WHERE doc_id % 50 = 0
+      GROUP BY term
+    ),
+    tgt_n AS (SELECT count(*) AS nt FROM toks WHERE doc_id % 50 = 0),
+    src AS (SELECT term, count(*) AS cs FROM toks GROUP BY term),
+    src_n AS (SELECT count(*) AS ns FROM toks),
+    ratio AS (
+      SELECT s.term,
+             CAST(round(ln(((COALESCE(t.ct, 0) + 1) / (nt + v))
+                           / ((s.cs + 1) / (ns + v))), 9)
+                  AS DECIMAL(20,9)) AS logr
+      FROM src s LEFT JOIN tgt t USING (term), tgt_n, src_n, vocab
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(CAST(sum(logr) AS DOUBLE), 6) AS importance
+    FROM toks JOIN ratio USING (term)
+    GROUP BY doc_id
+    """,
+)
+def dsir_importance_weight(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("term")
+    )
+    tgt_toks = toks.filter(F.col("doc_id") % 50 == 0)
+    tgt = tgt_toks.groupBy("term").agg(F.count("*").alias("ct"))
+    src = toks.groupBy("term").agg(F.count("*").alias("cs"))
+    consts = (
+        toks.agg(
+            F.count("*").alias("ns"),
+            F.countDistinct("term").alias("v"),
+        )
+        .crossJoin(tgt_toks.agg(F.count("*").alias("nt")))
+    )
+    ratio = (
+        src.join(tgt, "term", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                     / (F.col("nt") + F.col("v")))
+                    / ((F.col("cs") + 1) / (F.col("ns") + F.col("v")))
+                ),
+                9,
+            ).cast("decimal(20,9)").alias("logr"),
+        )
+    )
+    return (
+        toks.join(ratio, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("logr").cast("double"), 6).alias("importance"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # SemDeDup: semantic near-dup pairs via k-means cells + cosine
 # --------------------------------------------------------------------------
 # Abbas et al. (2023): cluster embeddings with k-means, compare pairs

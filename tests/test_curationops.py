@@ -95,6 +95,26 @@ def test_common_ngram_gate_fires(spark):
     assert bad.count() == 0
 
 
+def test_dsir_discriminates_toward_target(spark):
+    """Importance weights must be higher on average for the target
+    slice's own docs than for the rest — otherwise the ratio model
+    is not discriminating and the query is a no-signal pass."""
+    from distributed_system___ocr_spark.plans.curationops import (
+        dsir_importance_weight,
+    )
+
+    res = dsir_importance_weight(spark, SF).withColumn(
+        "is_target", (F.col("doc_id") % 50 == 0)
+    )
+    means = {
+        r["is_target"]: r["m"]
+        for r in res.groupBy("is_target")
+        .agg(F.avg(F.col("importance") / F.col("n_tokens")).alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+
+
 def test_temperature_sampling_rebalances(spark):
     """Alpha < 1 must downsample the dominant language while keeping
     the smallest language in full — and the keep set must be the
