@@ -216,6 +216,149 @@ def unigram_logprob_score(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# composite quality gate: keep/drop verdict with ordered reasons
+# --------------------------------------------------------------------------
+# The decision surface a real curation pipeline runs: combine the
+# individual signals (length bounds, Gopher repetition, stopword
+# poverty) into one keep flag plus an audit-trail reason string —
+# per-row built-ins only, so at 10^12 docs this is a scan-stage
+# filter with zero shuffles. Cut values are tuned to the synthetic
+# corpus's distributions so EVERY reason fires at test sf (a verdict
+# column that never rejects is not evidence). Reasons are joined in a
+# fixed order, so the string is deterministic and the driver's
+# canonicalizer can hash it.
+
+_QG_MIN_CHARS = 100
+_QG_MAX_CHARS = 450
+_QG_DUP_BG_MAX = 0.025
+_QG_SW_MIN = 0.02
+
+
+@register(
+    "quality_gate_verdict",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS n_chars,
+             {{toks}} AS toks, {{bg}} AS bg
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN len(bg) > 0 THEN
+               1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+             ELSE 0.0 END AS dup_bg,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(toks, x -> list_contains({{sw}}, x)))
+                    AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS sw_frac
+      FROM t
+    )
+    SELECT doc_id, n_chars,
+           concat_ws(',',
+             CASE WHEN n_chars < {_QG_MIN_CHARS} THEN 'too_short' END,
+             CASE WHEN n_chars > {_QG_MAX_CHARS} THEN 'too_long' END,
+             CASE WHEN dup_bg > {_QG_DUP_BG_MAX} THEN 'repetitive' END,
+             CASE WHEN sw_frac < {_QG_SW_MIN} THEN 'low_stopword' END
+           ) AS reasons,
+           (n_chars >= {_QG_MIN_CHARS} AND n_chars <= {_QG_MAX_CHARS}
+            AND dup_bg <= {_QG_DUP_BG_MAX}
+            AND sw_frac >= {_QG_SW_MIN}) AS keep
+    FROM sig
+    """,
+)
+def quality_gate_verdict(spark, sf_dir):
+    """Signals staged once per row (the gopher lesson: CollapseProject
+    keeps non-cheap aliases referenced more than once, SPARK-36718)."""
+    from .textops2 import _SPARK_TOKENS2, _STOPWORDS
+
+    d = _t(spark, sf_dir, "documents")
+    s1 = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.expr(_SPARK_TOKENS2).alias("toks"),
+    )
+    bg = F.when(
+        F.size("toks") >= 2,
+        F.zip_with(
+            F.slice(F.col("toks"), 1, F.size("toks") - 1),
+            F.slice(F.col("toks"), 2, F.size("toks") - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+    ).otherwise(F.array())
+    s2 = s1.select("doc_id", "n_chars", "toks", bg.alias("bg"))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    dup_bg = F.when(
+        F.size("bg") > 0,
+        1.0 - F.size(F.array_distinct("bg")).cast("double") / F.size("bg"),
+    ).otherwise(F.lit(0.0))
+    sw_frac = F.when(
+        F.size("toks") > 0,
+        F.size(F.filter("toks", lambda x: F.array_contains(sw, x)))
+        .cast("double") / F.size("toks"),
+    ).otherwise(F.lit(0.0))
+    s3 = s2.select(
+        "doc_id", "n_chars", dup_bg.alias("dup_bg"), sw_frac.alias("sw_frac")
+    )
+    reason = F.concat_ws(
+        ",",
+        F.when(F.col("n_chars") < _QG_MIN_CHARS, F.lit("too_short")),
+        F.when(F.col("n_chars") > _QG_MAX_CHARS, F.lit("too_long")),
+        F.when(F.col("dup_bg") > _QG_DUP_BG_MAX, F.lit("repetitive")),
+        F.when(F.col("sw_frac") < _QG_SW_MIN, F.lit("low_stopword")),
+    )
+    return s3.select(
+        "doc_id", "n_chars",
+        reason.alias("reasons"),
+        (
+            (F.col("n_chars") >= _QG_MIN_CHARS)
+            & (F.col("n_chars") <= _QG_MAX_CHARS)
+            & (F.col("dup_bg") <= _QG_DUP_BG_MAX)
+            & (F.col("sw_frac") >= _QG_SW_MIN)
+        ).alias("keep"),
+    )
+
+
+# inject the shared token/stopword SQL fragments (defined in textops2,
+# kept single-sourced) into the oracle at registration time
+def _qg_patch_sql() -> None:
+    from .queries import REGISTRY
+    from .textops2 import _DUCK_BIGRAMS, _DUCK_SW, _DUCK_TOKENS2
+
+    REGISTRY["quality_gate_verdict"]["sql"] = (
+        REGISTRY["quality_gate_verdict"]["sql"]
+        .replace("{toks}", _DUCK_TOKENS2)
+        .replace("{bg}", _DUCK_BIGRAMS)
+        .replace("{sw}", _DUCK_SW)
+    )
+
+
+_qg_patch_sql()
+
+
+# --------------------------------------------------------------------------
+# approximate distinct counting (HyperLogLog sketch)
+# --------------------------------------------------------------------------
+# The sketch path for cardinality at 10^12 rows: partial HLL sketches
+# merge associatively across partitions (constant memory per task —
+# countDistinct would shuffle every distinct key). Spark's HLL++ and
+# DuckDB's approx sketch differ, so this is rows-only; the pytest
+# invariant bounds relative error against the exact count (HLL++ at
+# default rsd=5% stays well inside 10% on these cardinalities) and
+# pins run-to-run determinism (the sketch is seed-free).
+
+@register("approx_distinct_users", None)
+def approx_distinct_users(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # DSIR importance weights (data selection for language models)
 # --------------------------------------------------------------------------
 # Xie et al. 2023: score each raw doc by how much more likely its

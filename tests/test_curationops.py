@@ -95,6 +95,57 @@ def test_common_ngram_gate_fires(spark):
     assert bad.count() == 0
 
 
+def test_quality_gate_every_reason_fires(spark):
+    """Each drop reason must actually occur at test sf (a verdict that
+    never rejects is not evidence), keep must equal reasons == '',
+    and the reason string must be deterministically ordered."""
+    from distributed_system___ocr_spark.plans.curationops import (
+        quality_gate_verdict,
+    )
+
+    rows = quality_gate_verdict(spark, SF).collect()
+    fired = set()
+    order = ["too_short", "too_long", "repetitive", "low_stopword"]
+    for r in rows:
+        reasons = r["reasons"].split(",") if r["reasons"] else []
+        fired.update(reasons)
+        assert r["keep"] == (not reasons)
+        # fixed ordering: as listed in `order`
+        idx = [order.index(x) for x in reasons]
+        assert idx == sorted(idx)
+    assert {"too_short", "too_long", "repetitive"} <= fired, fired
+    assert any(r["keep"] for r in rows) and not all(r["keep"] for r in rows)
+
+
+def test_approx_distinct_bounded_error_and_deterministic(spark):
+    from distributed_system___ocr_spark.plans.curationops import (
+        approx_distinct_users,
+    )
+
+    got = {
+        r["event_type"]: (r["approx_users"], r["n_events"])
+        for r in approx_distinct_users(spark, SF).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, n_exact in exact.items():
+        approx = got[et][0]
+        assert abs(approx - n_exact) <= max(2, 0.10 * n_exact), (
+            et, approx, n_exact,
+        )
+    again = {
+        r["event_type"]: (r["approx_users"], r["n_events"])
+        for r in approx_distinct_users(spark, SF).collect()
+    }
+    assert got == again
+
+
 def test_dsir_discriminates_toward_target(spark):
     """Importance weights must be higher on average for the target
     slice's own docs than for the rest — otherwise the ratio model
