@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-size", type=int, default=2048)
     p.add_argument("--chunk-stride", type=int, default=1792)
     p.add_argument("--pack-target", type=int, default=8192)
+    p.add_argument(
+        "--quality-min-chars", type=int, default=None,
+        help="switch on the curation quality gate: drop docs shorter "
+        "than this (and failing the repetition cut) before dedup",
+    )
+    p.add_argument("--quality-max-chars", type=int, default=None)
+    p.add_argument("--quality-dup-bigram-max", type=float, default=0.05)
     p.add_argument("--output", required=True, help="output/checkpoint dir")
     p.add_argument("--run-id", required=True, help="unique id for this run")
     p.add_argument(
@@ -115,6 +122,9 @@ def main(argv: list[str] | None = None) -> int:
             chunk_size=args.chunk_size,
             chunk_stride=args.chunk_stride,
             pack_target=args.pack_target,
+            quality_min_chars=args.quality_min_chars,
+            quality_max_chars=args.quality_max_chars,
+            quality_dup_bigram_max=args.quality_dup_bigram_max,
         )
         info["wall_sec"] = round(time.monotonic() - t0, 3)
         print(json.dumps(info))

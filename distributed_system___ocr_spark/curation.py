@@ -2,6 +2,7 @@
 extraction.
 
     docs(url, text, lang)
+      --[opt-in quality gate: length bounds + repetition cut]-->
       --exact dedup (content-hash window, min-url representative)-->
       --near-dup prune (MinHash/LSH pairs -> connected components ->
         min-url representative per cluster)-->
@@ -75,6 +76,39 @@ def input_fingerprint(docs: DataFrame) -> dict:
         ).alias("h"),
     ).collect()[0]
     return {"n_docs": row["n"], "content_sum": str(row["h"])}
+
+
+def quality_gate(
+    docs: DataFrame,
+    min_chars: int = 100,
+    max_chars: int | None = None,
+    dup_bigram_max: float = 0.05,
+) -> DataFrame:
+    """Scan-stage quality filter over (url, text, ...): length bounds
+    plus the Gopher duplicate-bigram repetition cut — the DataFrame
+    twin of the oracle-gated ``quality_gate_verdict`` registry query,
+    keyed on url instead of doc_id so it chains inside the curation
+    job. Per-row built-ins only: zero shuffles at any corpus size."""
+    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
+    staged = docs.withColumn("_toks", toks)
+    bg = F.when(
+        F.size("_toks") >= 2,
+        F.zip_with(
+            F.slice(F.col("_toks"), 1, F.size("_toks") - 1),
+            F.slice(F.col("_toks"), 2, F.size("_toks") - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+    ).otherwise(F.array())
+    staged = staged.withColumn("_bg", bg)
+    dup_bg = F.when(
+        F.size("_bg") > 0,
+        1.0 - F.size(F.array_distinct("_bg")).cast("double")
+        / F.size("_bg"),
+    ).otherwise(F.lit(0.0))
+    cond = (F.length("text") >= min_chars) & (dup_bg <= dup_bigram_max)
+    if max_chars is not None:
+        cond = cond & (F.length("text") <= max_chars)
+    return staged.filter(cond).drop("_toks", "_bg")
 
 
 def exact_dedup_survivors(docs: DataFrame) -> DataFrame:
@@ -159,10 +193,17 @@ def run_curation(
     chunk_size: int = 2048,
     chunk_stride: int = 1792,
     pack_target: int = 8192,
+    quality_min_chars: int | None = None,
+    quality_max_chars: int | None = None,
+    quality_dup_bigram_max: float = 0.05,
 ) -> dict:
     """Run (or no-op-resume) the curation job; returns summary counts
     and paths. ``docs`` must have (url, text, lang) — typically
-    ``read_extracted(spark, extraction_out_dir)``."""
+    ``read_extracted(spark, extraction_out_dir)``. Passing
+    ``quality_min_chars`` switches on the opt-in quality-gate stage
+    (length bounds + Gopher repetition cut) ahead of dedup; it is
+    part of the fingerprinted dataflow, so toggling it re-curates
+    rather than falsely no-op-resuming."""
     run_id = run_id or uuid.uuid4().hex[:12]
     prev = load_curation_snapshot(out_dir)
     committed = set(prev["runs"]) if prev else set()
@@ -179,6 +220,12 @@ def run_curation(
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
     )
     fp = input_fingerprint(docs)
+    if quality_min_chars is not None:
+        # the gate is part of the dataflow identity: same corpus with
+        # a different gate config must re-curate, not no-op
+        fp["quality_gate"] = [
+            quality_min_chars, quality_max_chars, quality_dup_bigram_max,
+        ]
     if prev and prev.get("input_fingerprint") == fp:
         # completion barrier: same corpus already curated — rerunning
         # the whole dataflow would reproduce byte-identical output
@@ -196,6 +243,16 @@ def run_curation(
     lineage_path = os.path.join(out_dir, "lineage", f"run_id={run_id}")
 
     n_input = fp["n_docs"]
+    if quality_min_chars is not None:
+        docs = quality_gate(
+            docs,
+            min_chars=quality_min_chars,
+            max_chars=quality_max_chars,
+            dup_bigram_max=quality_dup_bigram_max,
+        )
+        n_gated = docs.count()
+    else:
+        n_gated = n_input
     exact = exact_dedup_survivors(docs).persist()
     try:
         n_exact = exact.count()
@@ -217,7 +274,8 @@ def run_curation(
 
     stages = [
         ("input", n_input, n_input),
-        ("exact_dedup", n_input, n_exact),
+        ("quality_gate", n_input, n_gated),
+        ("exact_dedup", n_gated, n_exact),
         ("neardup_prune", n_exact, n_survivors),
         ("chunk", n_survivors, n_chunks),
         ("pack", n_chunks, n_bins),
@@ -249,6 +307,7 @@ def run_curation(
         "run_id": run_id,
         "snapshot": snap,
         "n_input": n_input,
+        "n_after_quality_gate": n_gated,
         "n_after_exact_dedup": n_exact,
         "n_survivors": n_survivors,
         "n_chunks": n_chunks,

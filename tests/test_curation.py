@@ -139,6 +139,49 @@ def test_curation_resume_noop_and_replay_guard(spark, tmp_path):
     }
 
 
+def test_quality_gate_stage_drops_and_refingerprints(spark, tmp_path):
+    """Opt-in quality gate: short docs drop before dedup with lineage
+    accounting, and the gate config is part of the dataflow identity —
+    the same corpus with a different gate must re-curate, not no-op."""
+    out = str(tmp_path / "curq")
+    docs = _docs(
+        spark, n=12,
+        extra=[
+            {"url": "https://ex.com/tiny", "text": "too small",
+             "lang": "en"},
+            {"url": "https://ex.com/repeat",
+             "text": "spam ham " * 120, "lang": "en"},
+        ],
+    )
+    info = run_curation(
+        spark, docs, out, run_id="q1", quality_min_chars=100,
+        quality_dup_bigram_max=0.5,
+    )
+    survivors = {r["url"] for r in read_curated(spark, out).collect()}
+    assert "https://ex.com/tiny" not in survivors      # too short
+    assert "https://ex.com/repeat" not in survivors    # repetitive
+    assert "https://ex.com/d003" in survivors
+    assert info["n_after_quality_gate"] == info["n_input"] - 2
+    lin = {
+        r["stage"]: (r["n_in"], r["n_out"])
+        for r in spark.read.parquet(info["lineage_path"]).collect()
+    }
+    assert lin["quality_gate"] == (info["n_input"],
+                                   info["n_after_quality_gate"])
+
+    # same corpus, same gate -> no-op; different gate -> re-curates
+    assert run_curation(
+        spark, docs, out, run_id="q2", quality_min_chars=100,
+        quality_dup_bigram_max=0.5,
+    ).get("skipped_noop") is True
+    info3 = run_curation(
+        spark, docs, out, run_id="q3", quality_min_chars=5,
+        quality_dup_bigram_max=1.0,
+    )
+    assert "skipped_noop" not in info3
+    assert info3["n_after_quality_gate"] == info3["n_input"]
+
+
 def test_cli_curate_runs_extract_then_curation(spark, tmp_path):
     """spark-submit surface: extract with the normal CLI, then --curate
     over the extraction output — the reference's one-command chained
