@@ -243,19 +243,25 @@ def run_curation(
     lineage_path = os.path.join(out_dir, "lineage", f"run_id={run_id}")
 
     n_input = fp["n_docs"]
+    gated_persisted = None
     if quality_min_chars is not None:
-        docs = quality_gate(
+        # persist: the gate's higher-order bigram expressions are the
+        # most expensive scan in the job — without this, the count
+        # here AND the dedup chain below would each pay them in full
+        docs = gated_persisted = quality_gate(
             docs,
             min_chars=quality_min_chars,
             max_chars=quality_max_chars,
             dup_bigram_max=quality_dup_bigram_max,
-        )
+        ).persist()
         n_gated = docs.count()
     else:
         n_gated = n_input
     exact = exact_dedup_survivors(docs).persist()
     try:
         n_exact = exact.count()
+        if gated_persisted is not None:
+            gated_persisted.unpersist()  # downstream reads `exact`
         neardup_survivors(exact).write.mode("overwrite").parquet(
             survivors_path
         )
