@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="read Common-Crawl-native .warc/.warc.gz files",
     )
     src.add_argument(
+        "--input-jsonl", metavar="GLOB",
+        help="read newline-delimited JSON pages (explicit schema, no "
+        "inference pass; normalized at the boundary)",
+    )
+    src.add_argument(
         "--synthetic", type=int, metavar="N",
         help="generate an N-doc deterministic corpus instead of reading",
     )
@@ -69,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--quality-max-chars", type=int, default=None)
     p.add_argument("--quality-dup-bigram-max", type=float, default=0.05)
+    p.add_argument(
+        "--export-jsonl", metavar="DEST", default=None,
+        help="after --curate (or its no-op resume), export the latest "
+        "packed chunks as JSONL to DEST",
+    )
     p.add_argument("--output", required=True, help="output/checkpoint dir")
     p.add_argument("--run-id", required=True, help="unique id for this run")
     p.add_argument(
@@ -126,6 +136,13 @@ def main(argv: list[str] | None = None) -> int:
             quality_max_chars=args.quality_max_chars,
             quality_dup_bigram_max=args.quality_dup_bigram_max,
         )
+        if args.export_jsonl:
+            from .curation import export_packed_jsonl
+
+            info["exported_chunks"] = export_packed_jsonl(
+                spark, args.output, args.export_jsonl
+            )
+            info["export_path"] = args.export_jsonl
         info["wall_sec"] = round(time.monotonic() - t0, 3)
         print(json.dumps(info))
         spark.stop()
@@ -136,6 +153,10 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.warc import read_warc
 
         pages = read_warc(spark, args.input_warc)
+    elif args.input_jsonl:
+        from .sources.jsonl import read_jsonl_pages
+
+        pages = read_jsonl_pages(spark, args.input_jsonl)
     elif args.input_urls:
         if not args.pages_table:
             raise SystemExit("--input-urls requires --pages-table")

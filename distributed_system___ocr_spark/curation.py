@@ -324,6 +324,29 @@ def run_curation(
     }
 
 
+def read_packed(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Packed chunks of the latest committed curation snapshot."""
+    snap = load_curation_snapshot(out_dir)
+    if not snap:
+        raise FileNotFoundError(f"no committed curation under {out_dir}")
+    rid = snap.get("latest_run", snap["runs"][-1])
+    return spark.read.parquet(
+        os.path.join(out_dir, "curated", f"run_id={rid}", "packed")
+    )
+
+
+def export_packed_jsonl(
+    spark: SparkSession, out_dir: str, dest: str
+) -> int:
+    """Write the latest packed chunks as JSONL — the handoff format
+    training loaders consume. One file per bin-partition would be the
+    cluster shape; here the write mirrors the parquet layout (files
+    per task). Returns the chunk count (from the written data, so the
+    number reported is what is actually on disk)."""
+    read_packed(spark, out_dir).write.mode("overwrite").json(dest)
+    return spark.read.json(dest).count()
+
+
 def read_curated(spark: SparkSession, out_dir: str) -> DataFrame:
     """Survivors of the latest committed curation snapshot."""
     snap = load_curation_snapshot(out_dir)

@@ -182,6 +182,29 @@ def test_quality_gate_stage_drops_and_refingerprints(spark, tmp_path):
     assert info3["n_after_quality_gate"] == info3["n_input"]
 
 
+def test_export_packed_jsonl_round_trips(spark, tmp_path):
+    """The JSONL training-handoff export must carry exactly the packed
+    chunks of the latest committed snapshot."""
+    from distributed_system___ocr_spark.curation import (
+        export_packed_jsonl,
+        read_packed,
+    )
+
+    out = str(tmp_path / "cur")
+    dest = str(tmp_path / "chunks.jsonl")
+    run_curation(spark, _docs(spark, n=10), out, run_id="c1")
+    n = export_packed_jsonl(spark, out, dest)
+    packed = {
+        (r["url"], r["chunk_idx"], r["chunk"], r["bin_id"])
+        for r in read_packed(spark, out).collect()
+    }
+    exported = {
+        (r["url"], r["chunk_idx"], r["chunk"], r["bin_id"])
+        for r in spark.read.json(dest).collect()
+    }
+    assert n == len(packed) and packed == exported
+
+
 def test_cli_curate_runs_extract_then_curation(spark, tmp_path):
     """spark-submit surface: extract with the normal CLI, then --curate
     over the extraction output — the reference's one-command chained
@@ -206,13 +229,16 @@ def test_cli_curate_runs_extract_then_curation(spark, tmp_path):
 
     ex_out = str(tmp_path / "ex")
     cur_out = str(tmp_path / "cur")
+    jsonl_out = str(tmp_path / "chunks.jsonl")
     _run_cli("--synthetic", "400", "--output", ex_out, "--run-id", "e1",
              "--no-manifest")
     info = _run_cli("--curate", "--input", ex_out, "--output", cur_out,
-                    "--run-id", "c1")
+                    "--run-id", "c1", "--export-jsonl", jsonl_out)
     assert info["n_survivors"] > 0
     assert info["n_chunks"] >= info["n_survivors"]
     assert info["wall_sec"] > 0
+    assert info["exported_chunks"] == info["n_chunks"]
+    assert spark.read.json(jsonl_out).count() == info["n_chunks"]
     got = read_curated(spark, cur_out)
     assert got.filter(F.length("text") == 0).count() == 0
     assert got.count() == info["n_survivors"]

@@ -103,3 +103,52 @@ def test_default_epoch_is_timezone_independent_and_non_utc_rejected(spark):
             )
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def test_jsonl_ingestion_explicit_schema(spark, tmp_path):
+    """JSONL pages read with the explicit schema (no inference pass)
+    and normalized at the boundary; corrupt lines become null-url
+    rows (errors-as-rows), not task failures."""
+    from distributed_system___ocr_spark.sources.jsonl import (
+        read_jsonl_pages,
+    )
+
+    p = tmp_path / "pages.jsonl"
+    body1 = "json payload one kept as a real content block by length"
+    body2 = "json payload two kept as a real content block by length"
+    p.write_text(
+        f'{{"url": "https://j/1", "html": "<p>{body1}</p>", '
+        '"warc_ts": "2024-05-01 10:00:00", "lang": "en", "extra": 9}\n'
+        f'{{"url": "https://j/2", "html": "<p>{body2}</p>"}}\n'
+        "this line is not json at all\n"
+    )
+    got = read_jsonl_pages(spark, str(p))
+    assert [f.name for f in got.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
+    rows = {r["url"]: r for r in got.collect()}
+    assert set(rows) == {"https://j/1", "https://j/2", None}
+    assert rows["https://j/1"]["warc_ts"] == dt.datetime(2024, 5, 1, 10)
+    assert bytes(rows["https://j/1"]["html"]) == (
+        b"<p>" + body1.encode() + b"</p>"
+    )
+    assert rows["https://j/2"]["warc_ts"] == dt.datetime(1970, 1, 1)
+
+    # the canonical frame runs through the real extraction pipeline
+    import tempfile
+
+    from distributed_system___ocr_spark.pipeline import (
+        read_extracted,
+        run_pipeline,
+    )
+
+    out = tempfile.mkdtemp(prefix="jsonl_out_")
+    info = run_pipeline(
+        spark, got.filter(F.col("url").isNotNull()), out, run_id="j1",
+        write_manifest=False,
+    )
+    assert info["n_extracted_this_run"] == 2
+    texts = {
+        r["url"]: r["text"] for r in read_extracted(spark, out).collect()
+    }
+    assert texts["https://j/1"] == body1
