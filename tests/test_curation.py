@@ -182,6 +182,37 @@ def test_quality_gate_stage_drops_and_refingerprints(spark, tmp_path):
     assert info3["n_after_quality_gate"] == info3["n_input"]
 
 
+def test_curation_crash_before_commit_leaves_no_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """Parity with the extraction pipeline's crash test: a failure
+    after the data writes but BEFORE the atomic snapshot commit must
+    leave the output uncommitted — read_curated refuses, a rerun with
+    a fresh run_id re-curates cleanly, and no partially-written state
+    is mistaken for a result."""
+    import distributed_system___ocr_spark.curation as cur
+
+    out = str(tmp_path / "cur")
+    docs = _docs(spark, n=8)
+
+    real_atomic = cur._atomic_write
+    def crashing_atomic(path, payload):
+        raise RuntimeError("simulated crash before snapshot commit")
+
+    monkeypatch.setattr(cur, "_atomic_write", crashing_atomic)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_curation(spark, docs, out, run_id="c1")
+    assert load_curation_snapshot(out) is None
+    with pytest.raises(FileNotFoundError):
+        read_curated(spark, out)
+
+    monkeypatch.setattr(cur, "_atomic_write", real_atomic)
+    info = run_curation(spark, docs, out, run_id="c2")
+    assert load_curation_snapshot(out)["latest_run"] == "c2"
+    assert info["n_survivors"] > 0
+    assert read_curated(spark, out).count() == info["n_survivors"]
+
+
 def test_export_packed_jsonl_round_trips(spark, tmp_path):
     """The JSONL training-handoff export must carry exactly the packed
     chunks of the latest committed snapshot."""
