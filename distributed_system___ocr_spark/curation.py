@@ -347,12 +347,23 @@ def export_packed_jsonl(
     return spark.read.json(dest).count()
 
 
-def read_curated(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Survivors of the latest committed curation snapshot."""
+def read_curated(
+    spark: SparkSession, out_dir: str, run_id: str | None = None
+) -> DataFrame:
+    """Survivors of the latest committed curation snapshot — or, with
+    ``run_id``, time-travel to any COMMITTED earlier run (the snapshot
+    log keeps every committed run_id; uncommitted/crashed runs are
+    not readable, same rule as the extraction snapshot layer)."""
     snap = load_curation_snapshot(out_dir)
     if not snap:
         raise FileNotFoundError(f"no committed curation under {out_dir}")
-    rid = snap.get("latest_run", snap["runs"][-1])
+    if run_id is None:
+        run_id = snap.get("latest_run", snap["runs"][-1])
+    elif run_id not in snap["runs"]:
+        raise FileNotFoundError(
+            f"run_id {run_id!r} is not committed in {out_dir} "
+            f"(committed: {snap['runs']})"
+        )
     return spark.read.parquet(
-        os.path.join(out_dir, "curated", f"run_id={rid}", "survivors")
+        os.path.join(out_dir, "curated", f"run_id={run_id}", "survivors")
     )

@@ -97,6 +97,118 @@ def common_ngram_fraction(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# cross-doc repeated-span REMOVAL (boilerplate strip, not just signal)
+# --------------------------------------------------------------------------
+# The act-on-it form of common_ngram_fraction — the RefinedWeb/Lee
+# et al. "remove duplicated substrings" step, over token 5-grams
+# instead of suffix arrays: every token position covered by ANY
+# occurrence of a >=K-doc 5-gram is dropped, and the survivors are
+# reassembled in order. Scale shape: token and gram explodes are
+# linear; gram document-frequency is one aggregation; coverage
+# expansion is a bounded 5x explode of MATCHED grams only; reassembly
+# is one per-doc aggregation (array_sort on unique positions makes
+# the collect order deterministic). Nothing is pairwise.
+
+_SPAN_MIN_DOCS = 3
+_SPAN_N = 5
+
+
+@register(
+    "remove_common_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ),
+    tokpos AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(t))) AS pos,
+             unnest(t) AS tok
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(t) - 4)) AS s,
+             unnest(list_transform(generate_series(1, len(t) - 4),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                         t[i+3] || ' ' || t[i+4])) AS g
+      FROM toks WHERE len(t) >= {_SPAN_N}
+    ),
+    common AS (
+      SELECT g FROM (
+        SELECT g, count(DISTINCT doc_id) AS cd FROM grams GROUP BY g
+      ) WHERE cd >= {_SPAN_MIN_DOCS}
+    ),
+    covered AS (
+      SELECT DISTINCT gr.doc_id, gr.s + d.d AS pos
+      FROM grams gr JOIN common c USING (g)
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS d) d
+    )
+    SELECT tp.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           coalesce(string_agg(CASE WHEN c.pos IS NULL THEN tp.tok END,
+                               ' ' ORDER BY tp.pos), '') AS cleaned_text
+    FROM tokpos tp LEFT JOIN covered c
+      ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+    GROUP BY tp.doc_id
+    """,
+)
+def remove_common_spans(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+    tokpos = staged.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    gram = F.expr(
+        "transform(sequence(1, size(t) - 4), i -> concat_ws(' ', "
+        "element_at(t, i), element_at(t, i+1), element_at(t, i+2), "
+        "element_at(t, i+3), element_at(t, i+4)))"
+    )
+    grams = (
+        staged.filter(F.size("t") >= _SPAN_N)
+        .select("doc_id", F.posexplode(gram).alias("s0", "g"))
+        .select("doc_id", (F.col("s0") + 1).alias("s"), "g")
+    )
+    common = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("cd"))
+        .filter(F.col("cd") >= _SPAN_MIN_DOCS)
+        .select("g")
+    )
+    covered = (
+        grams.join(common, "g")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + _SPAN_N - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("_cov", F.lit(1))
+    )
+    joined = tokpos.join(covered, ["doc_id", "pos"], "left")
+    kept_in_order = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "_cov", "tok"))
+                ),
+                lambda x: x["_cov"].isNull(),
+            ),
+            lambda x: x["tok"],
+        ),
+        " ",
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("_cov").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_removed"),
+        kept_in_order.alias("cleaned_text"),
+    )
+
+
+# --------------------------------------------------------------------------
 # temperature-based language rebalancing (XLM-R style alpha sampling)
 # --------------------------------------------------------------------------
 # Multilingual mixture smoothing: sampling share per language

@@ -138,6 +138,14 @@ def test_curation_resume_noop_and_replay_guard(spark, tmp_path):
         r["url"] for r in read_curated(spark, out).collect()
     }
 
+    # time travel: the earlier committed run is still addressable and
+    # does NOT contain the later corpus's new doc; an uncommitted id
+    # is refused
+    old = {r["url"] for r in read_curated(spark, out, run_id="c1").collect()}
+    assert "https://ex.com/new" not in old and old
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        read_curated(spark, out, run_id="never-ran")
+
 
 def test_quality_gate_stage_drops_and_refingerprints(spark, tmp_path):
     """Opt-in quality gate: short docs drop before dedup with lineage

@@ -95,6 +95,34 @@ def test_common_ngram_gate_fires(spark):
     assert bad.count() == 0
 
 
+def test_remove_common_spans_fires_and_conserves(spark):
+    """The removal gate must fire (the corpus's dup docs share
+    5-grams), removed+kept must tile the token stream, and untouched
+    docs must reassemble to their exact token sequence."""
+    from distributed_system___ocr_spark.plans.curationops import (
+        remove_common_spans,
+    )
+
+    res = {r["doc_id"]: r for r in remove_common_spans(spark, SF).collect()}
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    assert any(r["n_removed"] > 0 for r in res.values())
+    assert any(r["n_removed"] == 0 for r in res.values())
+    for did, r in res.items():
+        toks = docs[did]
+        assert r["n_tokens"] == len(toks)
+        kept = [t for t in r["cleaned_text"].split(" ") if t]
+        assert len(kept) == r["n_tokens"] - r["n_removed"]
+        if r["n_removed"] == 0:
+            assert kept == toks
+        else:
+            # kept tokens are an order-preserving subsequence
+            it = iter(toks)
+            assert all(k in it for k in kept)
+
+
 def test_quality_gate_every_reason_fires(spark):
     """Each drop reason must actually occur at test sf (a verdict that
     never rejects is not evidence), keep must equal reasons == '',
