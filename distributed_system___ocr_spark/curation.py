@@ -65,17 +65,37 @@ def load_curation_snapshot(out_dir: str) -> dict | None:
         return json.load(f)
 
 
-def input_fingerprint(docs: DataFrame) -> dict:
-    """Order-independent content identity of the input corpus in ONE
-    aggregation job: row count + decimal sum of xxhash64(url, text)
-    (decimal so a 10^12-row sum cannot overflow under ANSI)."""
-    row = docs.agg(
-        F.count("*").alias("n"),
+# lazy: Column construction needs an active SparkContext (building it
+# at import time breaks Spark-less imports of the package)
+def _nonblank():
+    return F.col("text").isNotNull() & (F.length("text") > 0)
+
+
+def _fingerprint_and_raw(raw: DataFrame) -> tuple[dict, int]:
+    """ONE aggregation job over the raw frame: raw row count (for the
+    lineage 'input' stage), non-blank row count, and decimal sum of
+    xxhash64(url, text, lang) over non-blank rows (decimal so a
+    10^12-row sum cannot overflow under ANSI; lang is hashed because
+    it drives packing bins and survivor metadata — a re-labelled
+    corpus must re-curate)."""
+    nb = _nonblank()
+    row = raw.agg(
+        F.count("*").alias("n_raw"),
+        F.count(F.when(nb, 1)).alias("n"),
         F.sum(
-            F.xxhash64(F.col("url"), F.col("text")).cast("decimal(38,0)")
+            F.when(
+                nb,
+                F.xxhash64(F.col("url"), F.col("text"), F.col("lang")),
+            ).cast("decimal(38,0)")
         ).alias("h"),
     ).collect()[0]
-    return {"n_docs": row["n"], "content_sum": str(row["h"])}
+    fp = {"n_docs": row["n"], "content_sum": str(row["h"])}
+    return fp, row["n_raw"]
+
+
+def input_fingerprint(docs: DataFrame) -> dict:
+    """Order-independent content identity of a (non-blank) corpus."""
+    return _fingerprint_and_raw(docs)[0]
 
 
 def quality_gate(
@@ -212,17 +232,28 @@ def run_curation(
             f"run_id {run_id!r} is already committed in {out_dir}; "
             "rerun with a fresh run_id"
         )
+    if chunk_size <= 0 or chunk_stride <= 0 or pack_target <= 0:
+        raise ValueError(
+            "chunk_size, chunk_stride and pack_target must be positive"
+        )
+    if chunk_stride > chunk_size:
+        raise ValueError(
+            "chunk_stride > chunk_size would leave uncovered gaps "
+            "between chunks"
+        )
     # blank rows can't train and would all collide on one content
-    # hash; drop them up front (counted in lineage), mirroring the
-    # extraction pipeline's O2 filter
-    docs = (
-        docs.select("url", "text", "lang")
-        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
-    )
-    fp = input_fingerprint(docs)
+    # hash; drop them up front, counted in the lineage 'input' stage
+    # (raw -> non-blank), mirroring the extraction pipeline's O2
+    # filter. The raw count and the fingerprint come from ONE
+    # aggregation job over the raw frame.
+    docs = docs.select("url", "text", "lang")
+    fp, n_raw = _fingerprint_and_raw(docs)
+    docs = docs.filter(_nonblank())
+    # every knob that changes the output is part of the dataflow
+    # identity: the same corpus under a different chunk/pack or gate
+    # config must re-curate, not falsely no-op-resume
+    fp["config"] = [chunk_size, chunk_stride, pack_target]
     if quality_min_chars is not None:
-        # the gate is part of the dataflow identity: same corpus with
-        # a different gate config must re-curate, not no-op
         fp["quality_gate"] = [
             quality_min_chars, quality_max_chars, quality_dup_bigram_max,
         ]
@@ -272,14 +303,14 @@ def run_curation(
     n_survivors = survivors.count()
     packed = pack_chunks_greedy(
         chunk_docs(survivors, chunk_size, chunk_stride), pack_target
-    ).drop("text")
+    )
     packed.write.mode("overwrite").parquet(packed_path)
     packed_back = spark.read.parquet(packed_path)
     n_chunks = packed_back.count()
     n_bins = packed_back.select("lang", "bin_id").distinct().count()
 
     stages = [
-        ("input", n_input, n_input),
+        ("input", n_raw, n_input),  # raw -> non-blank (O2 filter)
         ("quality_gate", n_input, n_gated),
         ("exact_dedup", n_gated, n_exact),
         ("neardup_prune", n_exact, n_survivors),
@@ -312,6 +343,7 @@ def run_curation(
     return {
         "run_id": run_id,
         "snapshot": snap,
+        "n_raw_input": n_raw,
         "n_input": n_input,
         "n_after_quality_gate": n_gated,
         "n_after_exact_dedup": n_exact,
@@ -343,8 +375,12 @@ def export_packed_jsonl(
     cluster shape; here the write mirrors the parquet layout (files
     per task). Returns the chunk count (from the written data, so the
     number reported is what is actually on disk)."""
-    read_packed(spark, out_dir).write.mode("overwrite").json(dest)
-    return spark.read.json(dest).count()
+    packed = read_packed(spark, out_dir)
+    packed.write.mode("overwrite").json(dest)
+    # explicit schema on the read-back: a legitimately-empty packed
+    # set writes only _SUCCESS, and schema inference over zero JSON
+    # files raises instead of returning 0
+    return spark.read.schema(packed.schema).json(dest).count()
 
 
 def read_curated(

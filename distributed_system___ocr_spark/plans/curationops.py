@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .queries import _t, register
+from .textops2 import _duck_bucket, _spark_bucket
 
 # --------------------------------------------------------------------------
 # cross-doc boilerplate: fraction of a doc's 5-grams shared corpus-wide
@@ -222,21 +223,11 @@ def remove_common_spans(spark, sf_dir):
 # broadcast at any corpus size.
 
 _TEMP_ALPHA = 0.3
-_DUCK_BUCKET1M = (
-    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
-    " % 1000000)"
-)
+_DUCK_BUCKET1M = _duck_bucket(1_000_000)
 
 
 def _spark_bucket1m():
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
-            ),
-            16, 10,
-        ).cast("long") % 1000000
-    )
+    return _spark_bucket(1_000_000)
 
 
 @register(

@@ -21,19 +21,31 @@ from pyspark.sql import functions as F
 
 from .queries import _t, register
 
-# hash bucket in [0, 100): same md5-hex arithmetic both engines
-_DUCK_BUCKET100 = (
-    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
-)
+# hash bucket in [0, mod): same md5-hex arithmetic both engines —
+# single-sourced so the two implementations cannot drift apart
+def _duck_bucket(mod: int) -> str:
+    return (
+        "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {int(mod)})"
+    )
+
+
+def _spark_bucket(mod: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % int(mod)
+    )
+
+
+_DUCK_BUCKET100 = _duck_bucket(100)
 
 
 def _spark_bucket100():
-    return (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
-            16, 10,
-        ).cast("long") % 100
-    )
+    return _spark_bucket(100)
 
 
 # --------------------------------------------------------------------------

@@ -44,7 +44,22 @@ def read_jsonl_pages(
     reader = spark.read
     if not infer:
         reader = reader.schema(_PERMISSIVE)
-    pages = normalize_pages(reader.json(path))
+    raw = reader.json(path)
+    if not infer and "warc_ts" in raw.columns:
+        # the forced string schema turns JSON epoch NUMBERS into digit
+        # strings, which string->timestamp casts to NULL — route them
+        # through timestamp_seconds explicitly (normalize_pages' own
+        # epoch branch only sees integer-typed columns)
+        raw = raw.withColumn(
+            "warc_ts",
+            F.coalesce(
+                # try_ variants: malformed values yield NULL instead of
+                # an ANSI cast error (errors stay rows)
+                F.try_to_timestamp(F.col("warc_ts")),
+                F.timestamp_seconds(F.col("warc_ts").try_cast("long")),
+            ).cast("string"),
+        )
+    pages = normalize_pages(raw)
     # JSON is row-sparse: an absent field is a NULL in a present
     # column, which normalize_pages' column-level defaults can't see —
     # apply the same typed defaults per row

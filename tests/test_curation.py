@@ -67,11 +67,13 @@ def test_curation_end_to_end_drops_all_clones(spark, tmp_path):
     assert info["n_after_exact_dedup"] > info["n_survivors"]
     assert info["n_input"] > info["n_after_exact_dedup"]
 
-    # lineage records every stage with consistent drop accounting
+    # lineage records every stage with consistent drop accounting,
+    # including the blank row dropped before fingerprinting
     lin = {
         r["stage"]: (r["n_in"], r["n_out"], r["n_dropped"])
         for r in spark.read.parquet(info["lineage_path"]).collect()
     }
+    assert lin["input"] == (info["n_input"] + 1, info["n_input"], 1)
     assert lin["exact_dedup"] == (
         info["n_input"], info["n_after_exact_dedup"],
         info["n_input"] - info["n_after_exact_dedup"],
@@ -145,6 +147,21 @@ def test_curation_resume_noop_and_replay_guard(spark, tmp_path):
     assert "https://ex.com/new" not in old and old
     with pytest.raises(FileNotFoundError, match="not committed"):
         read_curated(spark, out, run_id="never-ran")
+
+    # chunk/pack config is part of the dataflow identity: the same
+    # corpus with a different chunk size must RE-curate (code-review
+    # finding: it previously no-op'ed and left stale packing)
+    info4 = run_curation(spark, more, out, run_id="c4", chunk_size=512,
+                         chunk_stride=256)
+    assert "skipped_noop" not in info4
+    assert load_curation_snapshot(out)["latest_run"] == "c4"
+
+    # invalid chunk/pack parameters are rejected up front
+    with pytest.raises(ValueError, match="positive"):
+        run_curation(spark, more, out, run_id="c5", chunk_stride=0)
+    with pytest.raises(ValueError, match="uncovered gaps"):
+        run_curation(spark, more, out, run_id="c5", chunk_size=100,
+                     chunk_stride=200)
 
 
 def test_quality_gate_stage_drops_and_refingerprints(spark, tmp_path):
@@ -243,6 +260,17 @@ def test_export_packed_jsonl_round_trips(spark, tmp_path):
     }
     assert n == len(packed) and packed == exported
 
+    # a legitimately-empty packed set exports 0 without crashing on
+    # schema inference over zero JSON files (code-review finding)
+    out2 = str(tmp_path / "cur_empty")
+    run_curation(
+        spark, _docs(spark, n=4), out2, run_id="e1",
+        quality_min_chars=10_000_000,
+    )
+    assert export_packed_jsonl(
+        spark, out2, str(tmp_path / "empty.jsonl")
+    ) == 0
+
 
 def test_cli_curate_runs_extract_then_curation(spark, tmp_path):
     """spark-submit surface: extract with the normal CLI, then --curate
@@ -285,4 +313,7 @@ def test_cli_curate_runs_extract_then_curation(spark, tmp_path):
         r["stage"]: r for r in
         spark.read.parquet(info["lineage_path"]).collect()
     }
-    assert lin["input"]["n_in"] == info["n_input"]
+    # input stage records raw -> non-blank (the O2 filter drop count)
+    assert lin["input"]["n_in"] == info["n_raw_input"]
+    assert lin["input"]["n_out"] == info["n_input"]
+    assert info["n_raw_input"] >= info["n_input"]

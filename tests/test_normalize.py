@@ -129,6 +129,16 @@ def test_jsonl_ingestion_explicit_schema(spark, tmp_path):
     rows = {r["url"]: r for r in got.collect()}
     assert set(rows) == {"https://j/1", "https://j/2", None}
     assert rows["https://j/1"]["warc_ts"] == dt.datetime(2024, 5, 1, 10)
+
+    # epoch-NUMBER timestamps (forced to digit strings by the explicit
+    # schema) must parse as epoch seconds, not collapse to the default
+    # (code-review finding)
+    p2 = tmp_path / "epoch.jsonl"
+    p2.write_text('{"url": "https://j/3", "warc_ts": 1714557600}\n')
+    r3 = read_jsonl_pages(spark, str(p2)).collect()[0]
+    assert r3["warc_ts"] == dt.datetime.fromtimestamp(
+        1714557600, dt.timezone.utc
+    ).replace(tzinfo=None)
     assert bytes(rows["https://j/1"]["html"]) == (
         b"<p>" + body1.encode() + b"</p>"
     )
