@@ -545,6 +545,196 @@ def dsir_importance_weight(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# training-mixture token-budget planning
+# --------------------------------------------------------------------------
+# Given per-language token inventories, allocate a total training
+# budget with temperature-smoothed shares (q_l ∝ tokens^alpha) capped
+# at a max epoch count per language — the planning step between
+# corpus stats and the sampling filters. One tiny aggregation (rows =
+# languages) at any corpus size; the doubles go through the same
+# pow+round discipline as temperature_sampled_corpus.
+
+_MIX_BUDGET = 100_000
+_MIX_ALPHA = 0.3
+_MIX_MAX_EPOCHS = 3.0
+
+
+@register(
+    "mixture_token_budget",
+    f"""
+    WITH lt AS (
+      SELECT lang, count(*) AS n_docs,
+             sum(len({_DUCK_TOKS})) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n_docs, n_tokens,
+             pow(n_tokens, {_MIX_ALPHA}) AS wt
+      FROM lt
+    ),
+    tot AS (SELECT sum(wt) AS wsum FROM w)
+    SELECT lang, n_docs, n_tokens,
+           CAST(round(least({_MIX_BUDGET} * wt / wsum,
+                            {_MIX_MAX_EPOCHS} * n_tokens), 0) AS BIGINT)
+             AS alloc_tokens,
+           round(least({_MIX_BUDGET} * wt / wsum,
+                       {_MIX_MAX_EPOCHS} * n_tokens) / n_tokens, 6)
+             AS epochs
+    FROM w, tot
+    """,
+)
+def mixture_token_budget(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.expr(_SPARK_TOKS))).alias("n_tokens"),
+    )
+    w = lt.withColumn("wt", F.pow(F.col("n_tokens"), _MIX_ALPHA))
+    tot = w.agg(F.sum("wt").alias("wsum"))
+    alloc = F.least(
+        _MIX_BUDGET * F.col("wt") / F.col("wsum"),
+        _MIX_MAX_EPOCHS * F.col("n_tokens"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "n_docs", "n_tokens",
+            F.round(alloc, 0).cast("long").alias("alloc_tokens"),
+            F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# data profiling (Deequ-style column quality stats)
+# --------------------------------------------------------------------------
+# The pre-flight check a pipeline runs before trusting a new corpus
+# drop: per column, null fraction, exact distinct count, and average
+# length. One aggregation per profiled column, unioned — each is a
+# partial+final agg, no shuffle of row data.
+
+def _profile_col(d, name):
+    col = F.col(name)
+    return d.agg(
+        F.lit(name).alias("column_name"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long")
+          .alias("n_nulls"),
+        F.countDistinct(col).alias("n_distinct"),
+        F.round(F.avg(F.length(col.cast("string"))), 6).alias("avg_len"),
+    )
+
+
+@register(
+    "profile_documents",
+    """
+    SELECT 'text' AS column_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           count(DISTINCT text) AS n_distinct,
+           round(avg(length(CAST(text AS VARCHAR))), 6) AS avg_len
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*),
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT lang),
+           round(avg(length(CAST(lang AS VARCHAR))), 6)
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*),
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT source),
+           round(avg(length(CAST(source AS VARCHAR))), 6)
+    FROM documents
+    """,
+)
+def profile_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = _profile_col(d, "text")
+    for c in ("lang", "source"):
+        out = out.unionByName(_profile_col(d, c))
+    return out
+
+
+# --------------------------------------------------------------------------
+# funnel analysis: ordered click -> view -> purchase progression
+# --------------------------------------------------------------------------
+# Classic event-sequence analytics (the MATCH_RECOGNIZE shape, done
+# with joins both engines share): earliest click, earliest view
+# strictly after it, earliest purchase strictly after that — greedy
+# matching, deterministic because each step is a min over timestamps.
+# Scale shape: three user-keyed aggregations + user-keyed joins; the
+# per-type frames are filtered at the scan.
+
+@register(
+    "funnel_stages",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    c AS (
+      SELECT user_id, min(ts) AS first_click_ts
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, min(e.ts) AS first_view_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'view' AND e.ts > c.first_click_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.first_view_ts
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN v.user_id IS NOT NULL THEN 2
+                WHEN c.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage,
+           c.first_click_ts, v.first_view_ts, p.first_purchase_ts
+    FROM u
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+)
+def funnel_stages(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id").agg(F.min("ts").alias("first_click_ts"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("first_view_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    stage = (
+        F.when(F.col("first_purchase_ts").isNotNull(), 3)
+        .when(F.col("first_view_ts").isNotNull(), 2)
+        .when(F.col("first_click_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        u.join(c, "user_id", "left")
+        .join(v, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", stage.cast("int").alias("funnel_stage"),
+            "first_click_ts", "first_view_ts", "first_purchase_ts",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # SemDeDup: semantic near-dup pairs via k-means cells + cosine
 # --------------------------------------------------------------------------
 # Abbas et al. (2023): cluster embeddings with k-means, compare pairs

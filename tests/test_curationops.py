@@ -174,6 +174,69 @@ def test_approx_distinct_bounded_error_and_deterministic(spark):
     assert got == again
 
 
+def test_funnel_stages_ordered_and_populated(spark):
+    """Every funnel level must occur at test sf (a funnel where nobody
+    converts is not evidence) and matched timestamps must be strictly
+    ordered click < view < purchase."""
+    from distributed_system___ocr_spark.plans.curationops import (
+        funnel_stages,
+    )
+
+    rows = funnel_stages(spark, SF).collect()
+    assert any(r["funnel_stage"] == 3 for r in rows)
+    for r in rows:
+        if r["funnel_stage"] >= 2:
+            assert r["first_click_ts"] < r["first_view_ts"]
+        if r["funnel_stage"] == 3:
+            assert r["first_view_ts"] < r["first_purchase_ts"]
+        if r["funnel_stage"] < 3:
+            assert r["first_purchase_ts"] is None
+
+    # the dense fixture converts every user; prove the partial stages
+    # on a crafted corpus: u1 full funnel, u2 click+view (purchase
+    # BEFORE the view must not count), u3 click only (view BEFORE the
+    # click must not count), u4 never clicks
+    import datetime as dt
+    import tempfile
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 6, 1)
+
+    def ev(i, user, typ, mins):
+        return {"event_id": i, "ts": t0 + dt.timedelta(minutes=mins),
+                "user_id": user, "event_type": typ, "value": 1.0,
+                "props": None}
+
+    pdf = pd.DataFrame([
+        ev(1, 1, "click", 0), ev(2, 1, "view", 5), ev(3, 1, "purchase", 9),
+        ev(4, 2, "purchase", 1), ev(5, 2, "click", 2), ev(6, 2, "view", 7),
+        ev(7, 3, "view", 1), ev(8, 3, "click", 4),
+        ev(9, 4, "view", 2), ev(10, 4, "signup", 3),
+    ])
+    sf2 = tempfile.mkdtemp(prefix="funnel_sf_")
+    spark.createDataFrame(pdf).write.parquet(f"{sf2}/events.parquet")
+    got = {r["user_id"]: r["funnel_stage"]
+           for r in funnel_stages(spark, sf2).collect()}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0}
+
+
+def test_mixture_budget_caps_and_allocates(spark):
+    """The allocation must spend (close to) the budget unless capped,
+    boost low-resource languages (higher epochs than the dominant
+    language), and never exceed the max-epoch cap."""
+    from distributed_system___ocr_spark.plans.curationops import (
+        _MIX_MAX_EPOCHS,
+        mixture_token_budget,
+    )
+
+    rows = {r["lang"]: r for r in mixture_token_budget(spark, SF).collect()}
+    assert all(r["epochs"] <= _MIX_MAX_EPOCHS + 1e-9 for r in rows.values())
+    biggest = max(rows.values(), key=lambda r: r["n_tokens"])
+    smallest = min(rows.values(), key=lambda r: r["n_tokens"])
+    assert smallest["epochs"] > biggest["epochs"]
+
+
 def test_dsir_discriminates_toward_target(spark):
     """Importance weights must be higher on average for the target
     slice's own docs than for the rest — otherwise the ratio model
