@@ -564,20 +564,21 @@ _MIX_MAX_EPOCHS = 3.0
     f"""
     WITH lt AS (
       SELECT lang, count(*) AS n_docs,
-             sum(len({_DUCK_TOKS})) AS n_tokens
+             CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
       FROM documents GROUP BY lang
     ),
     w AS (
       SELECT lang, n_docs, n_tokens,
-             pow(n_tokens, {_MIX_ALPHA}) AS wt
+             CAST(round(pow(n_tokens, {_MIX_ALPHA}), 9)
+                  AS DECIMAL(20,9)) AS wt
       FROM lt
     ),
-    tot AS (SELECT sum(wt) AS wsum FROM w)
+    tot AS (SELECT CAST(sum(wt) AS DOUBLE) AS wsum FROM w)
     SELECT lang, n_docs, n_tokens,
-           CAST(round(least({_MIX_BUDGET} * wt / wsum,
+           CAST(round(least({_MIX_BUDGET} * CAST(wt AS DOUBLE) / wsum,
                             {_MIX_MAX_EPOCHS} * n_tokens), 0) AS BIGINT)
              AS alloc_tokens,
-           round(least({_MIX_BUDGET} * wt / wsum,
+           round(least({_MIX_BUDGET} * CAST(wt AS DOUBLE) / wsum,
                        {_MIX_MAX_EPOCHS} * n_tokens) / n_tokens, 6)
              AS epochs
     FROM w, tot
@@ -589,10 +590,18 @@ def mixture_token_budget(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.expr(_SPARK_TOKS))).alias("n_tokens"),
     )
-    w = lt.withColumn("wt", F.pow(F.col("n_tokens"), _MIX_ALPHA))
-    tot = w.agg(F.sum("wt").alias("wsum"))
+    # decimal-sum discipline (CLAUDE.md): the per-lang weight is
+    # rounded to 9 dp and summed as DECIMAL so wsum is exact and
+    # order-independent; the ratio arithmetic then runs in double on
+    # both engines
+    w = lt.withColumn(
+        "wt",
+        F.round(F.pow(F.col("n_tokens"), _MIX_ALPHA), 9)
+        .cast("decimal(20,9)"),
+    )
+    tot = w.agg(F.sum("wt").cast("double").alias("wsum"))
     alloc = F.least(
-        _MIX_BUDGET * F.col("wt") / F.col("wsum"),
+        _MIX_BUDGET * F.col("wt").cast("double") / F.col("wsum"),
         _MIX_MAX_EPOCHS * F.col("n_tokens"),
     )
     return (
@@ -672,7 +681,8 @@ def profile_documents(spark, sf_dir):
     WITH u AS (SELECT DISTINCT user_id FROM events),
     c AS (
       SELECT user_id, min(ts) AS first_click_ts
-      FROM events WHERE event_type = 'click' GROUP BY user_id
+      FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+      GROUP BY user_id
     ),
     v AS (
       SELECT e.user_id, min(e.ts) AS first_view_ts
@@ -701,8 +711,14 @@ def profile_documents(spark, sf_dir):
 def funnel_stages(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     u = ev.select("user_id").distinct()
+    # NULL-ts click exclusion keeps both engines on the same stage
+    # verdict: an unordered event can't anchor a funnel (a NULL min
+    # would read as stage 1 in the SQL's user_id-presence CASE but
+    # stage 0 in the Spark ts-presence form)
     c = (
-        ev.filter(F.col("event_type") == "click")
+        ev.filter(
+            (F.col("event_type") == "click") & F.col("ts").isNotNull()
+        )
         .groupBy("user_id").agg(F.min("ts").alias("first_click_ts"))
     )
     v = (

@@ -50,13 +50,22 @@ def read_jsonl_pages(
         # strings, which string->timestamp casts to NULL — route them
         # through timestamp_seconds explicitly (normalize_pages' own
         # epoch branch only sees integer-typed columns)
+        as_long = F.col("warc_ts").try_cast("long")
         raw = raw.withColumn(
             "warc_ts",
             F.coalesce(
                 # try_ variants: malformed values yield NULL instead of
-                # an ANSI cast error (errors stay rows)
+                # an ANSI cast error (errors stay rows). The epoch
+                # branch is range-guarded: timestamp_seconds overflows
+                # (job-killing ArithmeticException, not NULL) past
+                # ~9.2e12, which 14-digit CDX compact timestamps and
+                # epoch-microsecond values would hit — out-of-range
+                # digit strings fall through to the epoch-0 default.
                 F.try_to_timestamp(F.col("warc_ts")),
-                F.timestamp_seconds(F.col("warc_ts").try_cast("long")),
+                F.when(
+                    as_long.between(0, 99_999_999_999),
+                    F.timestamp_seconds(as_long),
+                ),
             ).cast("string"),
         )
     pages = normalize_pages(raw)

@@ -134,11 +134,19 @@ def test_jsonl_ingestion_explicit_schema(spark, tmp_path):
     # schema) must parse as epoch seconds, not collapse to the default
     # (code-review finding)
     p2 = tmp_path / "epoch.jsonl"
-    p2.write_text('{"url": "https://j/3", "warc_ts": 1714557600}\n')
-    r3 = read_jsonl_pages(spark, str(p2)).collect()[0]
-    assert r3["warc_ts"] == dt.datetime.fromtimestamp(
+    # 14-digit CDX compact timestamps would overflow timestamp_seconds
+    # (job-killing ArithmeticException, round-4 review finding) — they
+    # must fall through to the epoch-0 default instead
+    p2.write_text(
+        '{"url": "https://j/3", "warc_ts": 1714557600}\n'
+        '{"url": "https://j/4", "warc_ts": 20240501100000}\n'
+    )
+    got2 = {r["url"]: r["warc_ts"]
+            for r in read_jsonl_pages(spark, str(p2)).collect()}
+    assert got2["https://j/3"] == dt.datetime.fromtimestamp(
         1714557600, dt.timezone.utc
     ).replace(tzinfo=None)
+    assert got2["https://j/4"] == dt.datetime(1970, 1, 1)
     assert bytes(rows["https://j/1"]["html"]) == (
         b"<p>" + body1.encode() + b"</p>"
     )
