@@ -751,6 +751,94 @@ def funnel_stages(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# RANGE-frame rolling aggregate: 7-day moving average of daily counts
+# --------------------------------------------------------------------------
+# The interval-frame window family (RANGE BETWEEN n PRECEDING), which
+# the hopping/tumbling queries don't exercise: the frame is defined
+# by VALUE distance, so gap days shrink the window instead of
+# sliding over a fixed row count. Spark expresses it as
+# rangeBetween(-6, 0) over an epoch-day ordinal — value-based frames
+# need a numeric ordering column. Determinism: the average is an
+# exact long sum divided once, both engines. The final unpartitioned
+# window runs over the DAILY aggregate (rows = distinct days — a few
+# thousand even at decade scale), so the single-task window is fine;
+# the heavy per-event aggregation below it is fully distributed.
+
+@register(
+    "rolling_daily_avg",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT day, n,
+           round(avg(n) OVER (ORDER BY day
+                              RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                              AND CURRENT ROW), 6) AS avg_7d
+    FROM daily
+    """,
+)
+def rolling_daily_avg(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    day_num = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.orderBy(day_num.cast("long"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "day", "n", F.round(F.avg("n").over(w), 6).alias("avg_7d")
+    )
+
+
+# --------------------------------------------------------------------------
+# weekly retention cohorts
+# --------------------------------------------------------------------------
+# Cohort analytics: bucket each user by their first active epoch-week,
+# then count distinct users per (cohort, week-offset) — the standard
+# retention triangle. Two user-keyed aggregations plus one grouped
+# count; epoch-week arithmetic is integer on both engines, so the
+# result is exact.
+
+@register(
+    "weekly_retention_cohorts",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+      FROM events WHERE ts IS NOT NULL
+    ),
+    fw AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id)
+    SELECT f.cohort_wk, u.wk - f.cohort_wk AS week_offset,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users
+    FROM uw u JOIN fw f ON u.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def weekly_retention_cohorts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    uw = ev.select(
+        "user_id",
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / 604800
+        ).alias("wk"),
+    ).distinct()
+    fw = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        uw.join(fw, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
 # SemDeDup: semantic near-dup pairs via k-means cells + cosine
 # --------------------------------------------------------------------------
 # Abbas et al. (2023): cluster embeddings with k-means, compare pairs
