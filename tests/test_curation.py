@@ -108,6 +108,33 @@ def test_curation_end_to_end_drops_all_clones(spark, tmp_path):
         assert ids == list(range(len(ids))), (lang, ids)
 
 
+@pytest.mark.parametrize(
+    "chunk_size,chunk_stride",
+    [(2048, 1792), (512, 256), (100, 100), (64, 1), (7, 3)],
+)
+def test_chunk_tiling_invariant_across_configs(
+    spark, chunk_size, chunk_stride
+):
+    """For ANY valid (size, stride) config: chunks cover every char,
+    de-overlapped stitching reconstructs the text byte-for-byte, and
+    every chunk except possibly the last per doc is full-size."""
+    from distributed_system___ocr_spark.curation import chunk_docs
+
+    docs = _docs(spark, n=6)
+    texts = {r["url"]: r["text"] for r in docs.collect() if r["text"]}
+    chunks: dict[str, list] = {}
+    for r in chunk_docs(docs, chunk_size, chunk_stride).collect():
+        chunks.setdefault(r["url"], []).append((r["chunk_idx"], r["chunk"]))
+    assert set(chunks) == set(texts)
+    for url, cs in chunks.items():
+        cs.sort()
+        assert [i for i, _ in cs] == list(range(len(cs)))
+        stitched = cs[0][1]
+        for idx, chunk in cs[1:]:
+            stitched = stitched[: idx * chunk_stride] + chunk
+        assert stitched == texts[url], (url, chunk_size, chunk_stride)
+
+
 def test_curation_resume_noop_and_replay_guard(spark, tmp_path):
     out = str(tmp_path / "cur2")
     docs = _docs(spark, n=20)
