@@ -839,6 +839,46 @@ def weekly_retention_cohorts(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# SCD type-2: event stream -> validity intervals
+# --------------------------------------------------------------------------
+# The slowly-changing-dimension build every warehouse runs: each
+# event opens an interval that the user's NEXT event closes
+# (lead(ts)); the latest event stays open (is_current). One window
+# per user key; NULL-ts events are unorderable and excluded (the
+# sessionize contract).
+
+@register(
+    "scd2_user_intervals",
+    """
+    SELECT user_id, event_id,
+           round(CAST(value AS DOUBLE), 6) AS val,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             IS NULL AS is_current
+    FROM events WHERE ts IS NOT NULL
+    """,
+)
+def scd2_user_intervals(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id", "event_id",
+            F.round(F.col("value").cast("double"), 6).alias("val"),
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # SemDeDup: semantic near-dup pairs via k-means cells + cosine
 # --------------------------------------------------------------------------
 # Abbas et al. (2023): cluster embeddings with k-means, compare pairs
