@@ -238,6 +238,15 @@ def main() -> None:
                 t_lo = min(t_lo, one_session(LOW, f"p{pairs}", trials=2))
                 t_hi = min(t_hi, one_session(HIGH, f"p{pairs}", trials=2))
                 pairs += 1
+            # the FIXED-budget number, recorded before any escalation:
+            # the extra-pair loops below stop early once the ratio
+            # crosses a bar, which is outcome-conditioned optional
+            # stopping that can only raise the reported ratio — so the
+            # unconditional 3-pair figure is always reported alongside
+            # it, making any rescue visible (round-4 advice)
+            eff_fixed3 = round(
+                ((SCALE_DOCS / t_hi) / (SCALE_DOCS / t_lo)) / (HIGH / LOW), 4
+            )
             # escalate while the measured ratio still looks noise-
             # suppressed: target is comfortable margin over the 0.8
             # bar (round-2 verdict item 3 raised this from 0.82)
@@ -277,6 +286,7 @@ def main() -> None:
                     "scaling_efficiency": round(
                         (tp_hi / tp_lo) / (HIGH / LOW), 4
                     ),
+                    "scaling_efficiency_fixed3": eff_fixed3,
                     "interleaved_pairs": pairs,
                 }
             )

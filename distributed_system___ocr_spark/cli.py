@@ -73,7 +73,24 @@ def build_parser() -> argparse.ArgumentParser:
         "than this (and failing the repetition cut) before dedup",
     )
     p.add_argument("--quality-max-chars", type=int, default=None)
-    p.add_argument("--quality-dup-bigram-max", type=float, default=0.05)
+    p.add_argument("--quality-dup-bigram-max", type=float, default=None)
+    p.add_argument(
+        "--remove-spans-min-docs", type=int, default=None,
+        help="switch on cross-doc boilerplate span removal: strip "
+        "token n-grams appearing in >= this many docs (before dedup)",
+    )
+    p.add_argument("--span-ngram", type=int, default=5)
+    p.add_argument(
+        "--decon-eval", metavar="PARQUET", default=None,
+        help="switch on decontamination: drop survivors sharing any "
+        "n-gram with this eval corpus (parquet with a text column)",
+    )
+    p.add_argument("--decon-ngram", type=int, default=5)
+    p.add_argument(
+        "--sample-alpha", type=float, default=None,
+        help="switch on temperature-based language rebalancing with "
+        "this alpha (q_l ~ p_l^alpha; smallest language keeps 100%%)",
+    )
     p.add_argument(
         "--export-jsonl", metavar="DEST", default=None,
         help="after --curate (or its no-op resume), export the latest "
@@ -103,6 +120,17 @@ def main(argv: list[str] | None = None) -> int:
         # the report is rendered FROM the manifest; catching this after
         # the pipeline already ran would waste the whole job
         parser.error("--report requires the manifest; drop --no-manifest")
+    if args.quality_min_chars is None and (
+        args.quality_max_chars is not None
+        or args.quality_dup_bigram_max is not None
+    ):
+        # the gate is keyed on --quality-min-chars; silently ignoring
+        # the other quality flags would run an uncurated corpus the
+        # user believed was gated (round-4 advice)
+        parser.error(
+            "--quality-max-chars / --quality-dup-bigram-max have no "
+            "effect without --quality-min-chars (the gate switch)"
+        )
     from .corpus import pages_df
     from .pipeline import run_pipeline
     from .session import get_spark
@@ -134,7 +162,18 @@ def main(argv: list[str] | None = None) -> int:
             pack_target=args.pack_target,
             quality_min_chars=args.quality_min_chars,
             quality_max_chars=args.quality_max_chars,
-            quality_dup_bigram_max=args.quality_dup_bigram_max,
+            quality_dup_bigram_max=(
+                0.05 if args.quality_dup_bigram_max is None
+                else args.quality_dup_bigram_max
+            ),
+            remove_spans_min_docs=args.remove_spans_min_docs,
+            span_ngram=args.span_ngram,
+            decon_eval=(
+                spark.read.parquet(args.decon_eval)
+                if args.decon_eval else None
+            ),
+            decon_ngram=args.decon_ngram,
+            sample_alpha=args.sample_alpha,
         )
         if args.export_jsonl:
             from .curation import export_packed_jsonl

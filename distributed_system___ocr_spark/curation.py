@@ -3,11 +3,15 @@ extraction.
 
     docs(url, text, lang)
       --[opt-in quality gate: length bounds + repetition cut]-->
+      --[opt-in cross-doc boilerplate span removal]-->
       --exact dedup (content-hash window, min-url representative)-->
       --near-dup prune (MinHash/LSH pairs -> connected components ->
         min-url representative per cluster)-->
+      --[opt-in n-gram decontamination vs an eval corpus]-->
+      --[opt-in temperature-based language rebalancing]-->
       --chunk (fixed-size char windows, overlap)-->
-      --greedy sequence packing (per-lang cumulative budget bins)-->
+      --greedy sequence packing (two-phase exact prefix sum over
+        per-lang hash buckets)-->
     out_dir/curated/run_id=<rid>/{survivors,packed}/  + lineage + snapshot
 
 Round-3 verdict item 4: these operators existed only as standalone
@@ -29,10 +33,13 @@ Scale shape: exact dedup is one hash-partitioned window; near-dup is
 the banded LSH join (sub-quadratic, measured flat per-doc throughput
 at 1M docs — BENCH/BASELINE.md); components iterate join+agg on
 cluster-sized data only; chunking is a bounded per-row explode in the
-scan stage; packing is one window per lang. Payload text crosses a
-shuffle only where content must meet content (the dedup window and
-the band join) — never for chunk/pack, which read the survivors
-straight off their parquet scan.
+scan stage; packing is an exact two-phase prefix sum — local cumsums
+per (lang, hash-bucket) plus broadcast per-bucket offsets
+(operators/packing.py), so no single task ever sorts a whole
+language. Payload text crosses a shuffle only where content must meet
+content (the dedup window, the band join, and the opt-in span-removal
+reassembly) — never for chunk/pack, which read the survivors straight
+off their parquet scan.
 """
 
 from __future__ import annotations
@@ -44,11 +51,22 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.minhash import BAND_SIZE, N_HASHES, TOKEN_HASH_VERSION
 from .operators.components import connected_components
 from .operators.neardup import minhash_lsh_pairs_scale
+from .operators.packing import greedy_pack_bins, monotone_hash_bucket
 from .operators.resume import _atomic_write
 
 _CKPT = "_checkpoint"
+
+# Version of the curation DATAFLOW itself: bump whenever any stage's
+# algorithm changes its output for the same input + config, so a code
+# upgrade re-curates instead of falsely no-op-resuming over an output
+# directory produced by the old algorithm (the fingerprint-completeness
+# rule; round-4 advice: the minhash token-hash swap was exactly such a
+# silent upgrade). v2: pack order became hash-bucket-major for the
+# two-phase prefix sum.
+CURATION_DATAFLOW_VERSION = 2
 
 
 def _ckpt(out_dir: str) -> str:
@@ -131,6 +149,149 @@ def quality_gate(
     return staged.filter(cond).drop("_toks", "_bg")
 
 
+def _token_ngrams(n: int):
+    """(tokens array, n-gram array) column pair over ``text`` —
+    whitespace tokens, empties dropped, n consecutive tokens joined by
+    single spaces. Shared by span removal and decontamination so both
+    stages agree on what an n-gram is."""
+    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
+    parts = ", ".join(f"element_at(t, i+{j})" for j in range(n))
+    grams = F.expr(
+        f"transform(sequence(1, size(t) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+    return toks, grams
+
+
+def remove_boilerplate_spans(
+    docs: DataFrame, min_docs: int = 3, n: int = 5
+) -> DataFrame:
+    """Cross-doc repeated-span removal: every token position covered by
+    any occurrence of an n-gram appearing in >= ``min_docs`` distinct
+    docs is dropped and the survivors reassembled in order — the
+    curation-pipeline twin of the oracle-gated ``remove_common_spans``
+    registry query (plans/curationops.py), keyed on url and emitting
+    the full (url, text, lang) doc schema so it chains ahead of dedup.
+    Inter-token whitespace is canonicalized to single spaces (same as
+    the registry op). Scale shape: linear explodes, one gram
+    document-frequency aggregation, bounded n x coverage explode of
+    MATCHED grams only, one per-doc reassembly agg — nothing pairwise.
+    """
+    toks, grams_expr = _token_ngrams(n)
+    staged = docs.select("url", "lang", toks.alias("t"))
+    tokpos = staged.select(
+        "url", "lang", F.posexplode("t").alias("pos0", "tok")
+    ).select("url", "lang", (F.col("pos0") + 1).alias("pos"), "tok")
+    grams = (
+        staged.filter(F.size("t") >= n)
+        .select("url", F.posexplode(grams_expr).alias("s0", "g"))
+        .select("url", (F.col("s0") + 1).alias("s"), "g")
+    )
+    common = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("url").alias("cd"))
+        .filter(F.col("cd") >= min_docs)
+        .select("g")
+    )
+    covered = (
+        grams.join(common, "g")
+        .select(
+            "url",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + n - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("_cov", F.lit(1))
+    )
+    joined = tokpos.join(covered, ["url", "pos"], "left")
+    kept_in_order = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(F.collect_list(F.struct("pos", "_cov", "tok"))),
+                lambda x: x["_cov"].isNull(),
+            ),
+            lambda x: x["tok"],
+        ),
+        " ",
+    )
+    cleaned = joined.groupBy("url", "lang").agg(
+        kept_in_order.alias("_cleaned")
+    )
+    # docs whose text has no tokens at all (whitespace-only) produce
+    # zero tokpos rows — a left join keeps them instead of silently
+    # losing the row; their cleaned text is ''
+    return (
+        docs.join(cleaned, ["url", "lang"], "left")
+        .select(
+            "url",
+            F.coalesce(F.col("_cleaned"), F.lit("")).alias("text"),
+            "lang",
+        )
+    )
+
+
+def decontaminate_against(
+    docs: DataFrame, eval_docs: DataFrame, n: int = 5
+) -> DataFrame:
+    """Drop every doc sharing ANY token n-gram with the eval corpus —
+    the GPT-3/Llama decontamination rule, as the pipeline twin of the
+    oracle-gated ``decontaminate_ngram_overlap`` registry query.
+    ``eval_docs`` needs a ``text`` column. Scale shape: the eval-gram
+    side is a bounded benchmark vocabulary at any corpus size (AQE
+    broadcasts it from measured size); contaminated urls form a
+    url-level semi-join result, and the anti-join back runs on url —
+    document text crosses no shuffle."""
+    _, grams_expr = _token_ngrams(n)
+    toks, _ = _token_ngrams(n)
+    doc_grams = (
+        docs.select("url", toks.alias("t"))
+        .filter(F.size("t") >= n)
+        .select("url", F.explode(grams_expr).alias("g"))
+    )
+    eval_grams = (
+        eval_docs.select(toks.alias("t"))
+        .filter(F.size("t") >= n)
+        .select(F.explode(grams_expr).alias("g"))
+        .distinct()
+    )
+    contaminated = doc_grams.join(eval_grams, "g", "left_semi").select(
+        "url"
+    ).distinct()
+    return docs.join(contaminated, "url", "left_anti")
+
+
+def temperature_sample(docs: DataFrame, alpha: float) -> DataFrame:
+    """Temperature-based language rebalancing (XLM-R style): keep rate
+    r_l = (n_l / n_min)^(alpha-1), so the smallest language keeps 100%
+    and dominant languages are downsampled toward a flatter mixture.
+    Selection is the engine's stateless md5-bucket filter on url — no
+    RNG, identical keep-set on rerun/resume — with the integer
+    threshold (rate * 10^6, rounded) the oracle-gated
+    ``temperature_sampled_corpus`` registry query pins. The per-lang
+    counts are a languages-sized aggregate, safe to broadcast at any
+    corpus size."""
+    c = docs.groupBy("lang").agg(F.count("*").alias("_n"))
+    m = c.agg(F.min("_n").alias("_n_min"))
+    r = c.crossJoin(F.broadcast(m)).select(
+        "lang",
+        F.round(
+            F.pow(F.col("_n") / F.col("_n_min"), alpha - 1) * 1_000_000, 0
+        ).cast("long").alias("_keep_thresh"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("url").cast("binary")), 1, 8), 16, 10
+        ).cast("long") % 1_000_000
+    )
+    return (
+        docs.join(F.broadcast(r), "lang")
+        .filter(bucket < F.col("_keep_thresh"))
+        .drop("_keep_thresh")
+        .select("url", "text", "lang")
+    )
+
+
 def exact_dedup_survivors(docs: DataFrame) -> DataFrame:
     """Keep one doc per exact text: min url wins (deterministic
     representative). One hash-partitioned window, no pairwise work."""
@@ -191,18 +352,33 @@ def chunk_docs(
 
 def pack_chunks_greedy(chunks: DataFrame, pack_target: int) -> DataFrame:
     """Assign chunks to fixed-budget training bins by cumulative length
-    in a DETERMINISTIC order ((url, chunk_idx)) per language — the
-    order-by-key form is what makes packing reproducible across
-    reruns/resumes. One window shuffle on lang."""
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("url", "chunk_idx")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    preceding = F.sum("n_chars").over(w) - F.col("n_chars")
-    return chunks.withColumn(
-        "bin_id", F.floor(preceding / pack_target).cast("long")
-    )
+    in a DETERMINISTIC order per language — the order-by-key form is
+    what makes packing reproducible across reruns/resumes.
+
+    v2 order: (hash_bucket(url), url, chunk_idx). The bucket is a
+    monotone uniform function of url (operators.packing), which lets
+    the bin assignment run as an exact two-phase prefix sum with
+    langs x n_buckets -way parallelism instead of ONE task sorting a
+    whole language (the round-4 scale-killer: ~half of Common Crawl is
+    one language). A url's chunks stay contiguous (the bucket depends
+    on url only), and the hash-major order additionally decorrelates
+    same-domain pages across bins — a mixing win for training data.
+    Order change vs v1 (url-lexicographic) is covered by
+    CURATION_DATAFLOW_VERSION."""
+    bucketed = chunks.withColumn("_bkt", monotone_hash_bucket("url"))
+    return greedy_pack_bins(
+        bucketed, pack_target, "_bkt", ["url", "chunk_idx"]
+    ).drop("_bkt")
+
+
+def _eval_fingerprint(eval_docs: DataFrame) -> dict:
+    """Order-independent content identity of a decontamination eval
+    corpus (text column only — that is all decontamination reads)."""
+    row = eval_docs.agg(
+        F.count("text").alias("n"),
+        F.sum(F.xxhash64(F.col("text")).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return {"n_docs": row["n"], "content_sum": str(row["h"])}
 
 
 def run_curation(
@@ -216,14 +392,33 @@ def run_curation(
     quality_min_chars: int | None = None,
     quality_max_chars: int | None = None,
     quality_dup_bigram_max: float = 0.05,
+    remove_spans_min_docs: int | None = None,
+    span_ngram: int = 5,
+    decon_eval: DataFrame | None = None,
+    decon_ngram: int = 5,
+    sample_alpha: float | None = None,
 ) -> dict:
     """Run (or no-op-resume) the curation job; returns summary counts
     and paths. ``docs`` must have (url, text, lang) — typically
-    ``read_extracted(spark, extraction_out_dir)``. Passing
-    ``quality_min_chars`` switches on the opt-in quality-gate stage
-    (length bounds + Gopher repetition cut) ahead of dedup; it is
-    part of the fingerprinted dataflow, so toggling it re-curates
-    rather than falsely no-op-resuming."""
+    ``read_extracted(spark, extraction_out_dir)``.
+
+    Opt-in stages (each fingerprinted, so toggling or reconfiguring
+    any of them re-curates rather than falsely no-op-resuming —
+    round-3/4 lesson, now covering the round-4 additions too):
+
+    - ``quality_min_chars``: length bounds + Gopher repetition cut
+      ahead of dedup;
+    - ``remove_spans_min_docs``: cross-doc boilerplate span removal
+      (rewrites text BEFORE dedup, so de-boilerplated twins collapse;
+      docs emptied by the removal drop here);
+    - ``decon_eval``: n-gram decontamination of the near-dup survivors
+      against an eval corpus (its CONTENT enters the fingerprint — a
+      new eval suite must re-curate);
+    - ``sample_alpha``: temperature-based language rebalancing as the
+      final doc-level selection before chunking.
+
+    Full order: gate -> span removal -> exact dedup -> near-dup prune
+    -> decontaminate -> temperature sample -> chunk -> pack."""
     run_id = run_id or uuid.uuid4().hex[:12]
     prev = load_curation_snapshot(out_dir)
     committed = set(prev["runs"]) if prev else set()
@@ -251,12 +446,26 @@ def run_curation(
     docs = docs.filter(_nonblank())
     # every knob that changes the output is part of the dataflow
     # identity: the same corpus under a different chunk/pack or gate
-    # config must re-curate, not falsely no-op-resume
+    # config must re-curate, not falsely no-op-resume — and so are the
+    # ALGORITHM versions of the stages (round-4 advice: a token-hash
+    # upgrade changes near-dup survivors; without these a code upgrade
+    # false no-op-resumes and reports the stale old-algorithm snapshot)
+    fp["algo"] = [
+        CURATION_DATAFLOW_VERSION, TOKEN_HASH_VERSION, N_HASHES, BAND_SIZE,
+    ]
     fp["config"] = [chunk_size, chunk_stride, pack_target]
     if quality_min_chars is not None:
         fp["quality_gate"] = [
             quality_min_chars, quality_max_chars, quality_dup_bigram_max,
         ]
+    if remove_spans_min_docs is not None:
+        fp["span_removal"] = [remove_spans_min_docs, span_ngram]
+    if decon_eval is not None:
+        # the EVAL corpus's content is an input: a changed eval suite
+        # changes which docs survive, so it must re-curate
+        fp["decon"] = [decon_ngram, _eval_fingerprint(decon_eval)]
+    if sample_alpha is not None:
+        fp["sample_alpha"] = sample_alpha
     if prev and prev.get("input_fingerprint") == fp:
         # completion barrier: same corpus already curated — rerunning
         # the whole dataflow would reproduce byte-identical output
@@ -274,33 +483,87 @@ def run_curation(
     lineage_path = os.path.join(out_dir, "lineage", f"run_id={run_id}")
 
     n_input = fp["n_docs"]
-    gated_persisted = None
-    if quality_min_chars is not None:
-        # persist: the gate's higher-order bigram expressions are the
-        # most expensive scan in the job — without this, the count
-        # here AND the dedup chain below would each pay them in full
-        docs = gated_persisted = quality_gate(
-            docs,
-            min_chars=quality_min_chars,
-            max_chars=quality_max_chars,
-            dup_bigram_max=quality_dup_bigram_max,
-        ).persist()
-        n_gated = docs.count()
-    else:
-        n_gated = n_input
-    exact = exact_dedup_survivors(docs).persist()
+    n_decon = None
+    # every persisted frame unpersists on ANY exit (round-4 advice:
+    # an exception between persist and the early unpersist leaked the
+    # cached frame for the life of the session); early unpersists
+    # inside the chain still free memory as soon as a successor
+    # materializes — unpersisting twice is a harmless no-op
+    persisted: list[DataFrame] = []
+
+    def _materialize(df: DataFrame, prev: DataFrame | None):
+        """persist + count a stage output; drop the predecessor's
+        cache once the successor is fully materialized."""
+        df = df.persist()
+        persisted.append(df)
+        n = df.count()
+        if prev is not None:
+            prev.unpersist()
+        return df, n
+
     try:
-        n_exact = exact.count()
-        if gated_persisted is not None:
-            gated_persisted.unpersist()  # downstream reads `exact`
-        neardup_survivors(exact).write.mode("overwrite").parquet(
-            survivors_path
+        prev_cached = None
+        if quality_min_chars is not None:
+            # persist: the gate's higher-order bigram expressions are
+            # the most expensive scan in the job — without this, the
+            # count here AND the dedup chain below each pay them in full
+            docs, n_gated = _materialize(
+                quality_gate(
+                    docs,
+                    min_chars=quality_min_chars,
+                    max_chars=quality_max_chars,
+                    dup_bigram_max=quality_dup_bigram_max,
+                ),
+                prev_cached,
+            )
+            prev_cached = docs
+        else:
+            n_gated = n_input
+        if remove_spans_min_docs is not None:
+            # rewrites text BEFORE dedup (de-boilerplated twins
+            # collapse); docs emptied by the removal drop here — they
+            # cannot train and would all collide on one content hash
+            docs, n_spanned = _materialize(
+                remove_boilerplate_spans(
+                    docs, min_docs=remove_spans_min_docs, n=span_ngram
+                ).filter(_nonblank()),
+                prev_cached,
+            )
+            prev_cached = docs
+        else:
+            n_spanned = n_gated
+        exact, n_exact = _materialize(
+            exact_dedup_survivors(docs), prev_cached
         )
+        nd = neardup_survivors(exact)
+        post = decon_eval is not None or sample_alpha is not None
+        if post:
+            # the post-dedup doc-level stages re-read the survivors
+            # (decon gram join, sampling counts) — persist so the LSH
+            # chain runs once, and count for the lineage row
+            nd, n_nd = _materialize(nd, exact)
+            cur = nd
+            if decon_eval is not None:
+                cur = decontaminate_against(cur, decon_eval, n=decon_ngram)
+                if sample_alpha is not None:
+                    cur, n_decon = _materialize(cur, nd)
+            if sample_alpha is not None:
+                cur = temperature_sample(cur, sample_alpha)
+            cur.write.mode("overwrite").parquet(survivors_path)
+        else:
+            nd.write.mode("overwrite").parquet(survivors_path)
     finally:
-        exact.unpersist()
+        for p in persisted:
+            p.unpersist()
 
     survivors = spark.read.parquet(survivors_path)
     n_survivors = survivors.count()
+    if not post:
+        n_nd = n_survivors
+    if decon_eval is None:
+        n_decon = n_nd
+    elif sample_alpha is None:
+        n_decon = n_survivors
     packed = pack_chunks_greedy(
         chunk_docs(survivors, chunk_size, chunk_stride), pack_target
     )
@@ -312,8 +575,11 @@ def run_curation(
     stages = [
         ("input", n_raw, n_input),  # raw -> non-blank (O2 filter)
         ("quality_gate", n_input, n_gated),
-        ("exact_dedup", n_gated, n_exact),
-        ("neardup_prune", n_exact, n_survivors),
+        ("span_removal", n_gated, n_spanned),
+        ("exact_dedup", n_spanned, n_exact),
+        ("neardup_prune", n_exact, n_nd),
+        ("decontaminate", n_nd, n_decon),
+        ("temperature_sample", n_decon, n_survivors),
         ("chunk", n_survivors, n_chunks),
         ("pack", n_chunks, n_bins),
     ]
@@ -346,7 +612,10 @@ def run_curation(
         "n_raw_input": n_raw,
         "n_input": n_input,
         "n_after_quality_gate": n_gated,
+        "n_after_span_removal": n_spanned,
         "n_after_exact_dedup": n_exact,
+        "n_after_neardup": n_nd,
+        "n_after_decon": n_decon,
         "n_survivors": n_survivors,
         "n_chunks": n_chunks,
         "n_bins": n_bins,

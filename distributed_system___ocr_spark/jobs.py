@@ -32,15 +32,27 @@ def submit_jobs(
     base_dir: str,
     max_parallel: int = 1,
 ) -> list[dict]:
-    """Run N extraction jobs against one session.
+    """Run N extraction and/or curation jobs against one session.
 
-    Each job dict: ``app_id`` (tenant namespace), ``pages`` (input
-    DataFrame), optional ``run_id`` (default: a fresh id per
-    submission, so resubmitting a tenant's job RESUMES via the
-    anti-join instead of tripping the replay guard) and ``partitions``.
+    Each job dict: ``app_id`` (tenant namespace), optional ``run_id``
+    (default: a fresh id per submission, so resubmitting a tenant's
+    job RESUMES — extraction via the anti-join, curation via the
+    fingerprint barrier — instead of tripping the replay guard), and
+    either:
+
+    - ``kind: "extract"`` (default): ``pages`` (input DataFrame) and
+      optional ``partitions`` — runs ``run_pipeline``;
+    - ``kind: "curate"``: ``docs`` (a (url, text, lang) DataFrame,
+      typically ``read_extracted`` of the tenant's extraction
+      namespace) and optional ``curation`` kwargs dict passed through
+      to ``run_curation`` (gate/span/decon/sampling/chunk/pack
+      config) — the round-4 verdict's stretch: multi-tenant curation
+      shares the session exactly like extraction does.
+
     Returns one response dict per job, in input order:
-    ``{"app_id", "ok", ...run_pipeline info | "error"}``.
+    ``{"app_id", "ok", ...stage info | "error"}``.
     """
+    from .curation import run_curation
     from .pipeline import run_pipeline
 
     app_ids = [j["app_id"] for j in jobs]
@@ -63,13 +75,22 @@ def submit_jobs(
             # per-thread pool: concurrent jobs share executors fairly
             # instead of FIFO head-of-line blocking
             sc.setLocalProperty("spark.scheduler.pool", app_id)
-            info = run_pipeline(
-                spark,
-                job["pages"],
-                out,
-                run_id=job.get("run_id"),  # None -> fresh id (resume)
-                num_partitions=job.get("partitions"),
-            )
+            if job.get("kind", "extract") == "curate":
+                info = run_curation(
+                    spark,
+                    job["docs"],
+                    out,
+                    run_id=job.get("run_id"),  # None -> fresh id
+                    **job.get("curation", {}),
+                )
+            else:
+                info = run_pipeline(
+                    spark,
+                    job["pages"],
+                    out,
+                    run_id=job.get("run_id"),  # None -> fresh id (resume)
+                    num_partitions=job.get("partitions"),
+                )
             return {"app_id": app_id, "ok": True, **info}
         except Exception as e:  # errors are responses, not crashes
             return {

@@ -150,7 +150,16 @@ def kmeans_train(
     decimal-exact partial-agg shuffle, driver sees only k x dim
     doubles); "auto" = local when the input is cap-bounded (always
     memory-safe by construction), distributed when sampling was
-    explicitly disabled (never collect an unbounded table)."""
+    explicitly disabled (never collect an unbounded table).
+
+    Determinism contract: each strategy is SELF-deterministic (same
+    input + params -> bit-identical model on rerun), but the two are
+    not bit-identical to EACH OTHER — "local" averages in plain numpy
+    float64 while "distributed" uses decimal-exact means (the price of
+    order-independent shuffled partials). Tests pin per-strategy
+    determinism and recall parity, not cross-strategy model equality
+    (round-4 advice: this note is the documented behavior, not a
+    bug)."""
     if sample_cap is None:
         sample_cap = default_train_cap(k)
     emb = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("v"))

@@ -618,20 +618,13 @@ def mixture_token_budget(spark, sf_dir):
 # data profiling (Deequ-style column quality stats)
 # --------------------------------------------------------------------------
 # The pre-flight check a pipeline runs before trusting a new corpus
-# drop: per column, null fraction, exact distinct count, and average
-# length. One aggregation per profiled column, unioned — each is a
-# partial+final agg, no shuffle of row data.
-
-def _profile_col(d, name):
-    col = F.col(name)
-    return d.agg(
-        F.lit(name).alias("column_name"),
-        F.count("*").alias("n_rows"),
-        F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long")
-          .alias("n_nulls"),
-        F.countDistinct(col).alias("n_distinct"),
-        F.round(F.avg(F.length(col.cast("string"))), 6).alias("avg_len"),
-    )
+# drop: per column, null fraction, distinct count, and average length.
+# One aggregation per profiled column, unioned — each is a
+# partial+final agg. The oracle pair below keeps EXACT distinct counts
+# (DuckDB must reproduce them bit-for-bit); the default profiling
+# surface (operators/profile.profile_frame, exposed as the rows-only
+# profile_documents_sketch) uses the HLL++ sketch so the text column's
+# values never cross a shuffle (round-4 verdict item 3).
 
 
 @register(
@@ -658,11 +651,24 @@ def _profile_col(d, name):
     """,
 )
 def profile_documents(spark, sf_dir):
+    from ..operators.profile import profile_frame
+
     d = _t(spark, sf_dir, "documents")
-    out = _profile_col(d, "text")
-    for c in ("lang", "source"):
-        out = out.unionByName(_profile_col(d, c))
-    return out
+    return profile_frame(d, ["text", "lang", "source"], exact=True)
+
+
+@register("profile_documents_sketch", None)  # HLL != DuckDB's sketch
+def profile_documents_sketch(spark, sf_dir):
+    """The profiling surface a 100-TB user actually runs: distinct
+    counts via HLL++ partial sketches, so no column's VALUES (least of
+    all full document text) ever cross a shuffle. Rows-only for the
+    driver (Spark's HLL++ and DuckDB's approx sketch differ); the
+    pytest invariant bounds relative error against the exact profile
+    and pins the no-text-exchange plan shape."""
+    from ..operators.profile import profile_frame
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_frame(d, ["text", "lang", "source"], exact=False)
 
 
 # --------------------------------------------------------------------------
@@ -896,12 +902,34 @@ _SEMDEDUP_TAU = 0.3  # fixture vectors are near-orthogonal (max pair
 # cos ~0.45); a production-ish 0.9 would be a gate that never fires —
 # same rationale as embedding_near_dup's threshold.
 
+# k ~ sqrt(N) (the Abbas et al. production choice) keeps expected cell
+# size ~sqrt(N) and per-cell pair work ~N — linear overall — while the
+# cell count itself (= the applyInPandas parallelism) GROWS with the
+# corpus. Round-4 verdict: a fixed k=16 was both a 16-task parallelism
+# ceiling and an (N/16)^2 OOM at 100x. Floor 16 keeps small fixtures
+# multi-cell; the cap bounds quantizer training/assignment cost (at
+# 10^12 vectors sqrt(N)=10^6 centroids would dominate the assignment
+# matmul — 65536 cells of ~15M vectors each is the chunked-matmul
+# regime instead).
+_SEMDEDUP_K_MIN = 16
+_SEMDEDUP_K_MAX = 65536
+# rows per block of the within-cell cosine matmul: bounds task memory
+# at block x cell_size floats no matter how large a cell skews
+_SEMDEDUP_BLOCK = 4096
+
+
+def semdedup_k(n_vectors: int) -> int:
+    """Quantizer size for a corpus of ``n_vectors``: sqrt(N) clamped
+    to [_SEMDEDUP_K_MIN, _SEMDEDUP_K_MAX] and never above N (k-means
+    cannot place more centroids than points)."""
+    k = int(round(max(1, n_vectors) ** 0.5))
+    return max(1, min(max(_SEMDEDUP_K_MIN, k), _SEMDEDUP_K_MAX, n_vectors))
+
 
 @register("semdedup_pairs", None)
 def semdedup_pairs(spark, sf_dir):
     from ..operators.kmeans import kmeans_train
     from .vectorops import (
-        _N_CELLS,
         _TRAINED_CENTROIDS,
         _emb_fingerprint,
         _model_cache_get,
@@ -915,33 +943,48 @@ def semdedup_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _spark_dvec(F.col("embedding")).alias("v")
     )
+    # corpus-sized quantizer (k ~ sqrt(N)); the count is one
+    # column-pruned parquet scan, and k joins the cache key so the
+    # ANN paths' fixed-k models are not clobbered
+    k = semdedup_k(emb.count())
     cents = _model_cache_get(
         _TRAINED_CENTROIDS,
-        _emb_fingerprint(sf_dir),
-        lambda: kmeans_train(emb, k=_N_CELLS, iters=3),
+        (_emb_fingerprint(sf_dir), "semdedup", k),
+        lambda: kmeans_train(emb, k=k, iters=3),
     )
     assigned = emb.withColumn("cell", ivf_cell_udf(cents)(F.col("v")))
 
     # one vectorized float64 matmul per cell instead of a Catalyst
     # per-pair fold (which re-derived three 64-dim dot products per
-    # candidate pair — measured 4.2 s vs 0.6 s at sf0.1). Cell count
-    # is the parallelism bound here; production SemDeDup picks
-    # k ~ sqrt(N) so cells stay matmul-sized at any corpus.
+    # candidate pair — measured 4.2 s vs 0.6 s at sf0.1), CHUNKED over
+    # row blocks so a skewed cell costs block x cell memory, not
+    # cell^2 (round-5: the round-4 verdict's second 100x gap).
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         m = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
         norms = np.sqrt((m * m).sum(axis=1))
-        cos = (m @ m.T) / np.outer(norms, norms)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = cos[iu, ju] >= _SEMDEDUP_TAU
+        n = len(ids)
+        cell = int(pdf["cell"].iloc[0])
+        out_a, out_b, out_cos = [], [], []
+        for s in range(0, n, _SEMDEDUP_BLOCK):
+            blk = (m[s : s + _SEMDEDUP_BLOCK] @ m.T) / np.outer(
+                norms[s : s + _SEMDEDUP_BLOCK], norms
+            )  # (b, n)
+            bi, bj = np.nonzero(blk >= _SEMDEDUP_TAU)
+            gi = bi + s
+            upper = bj > gi  # global j > i: upper triangle only
+            out_a.append(ids[gi[upper]])
+            out_b.append(ids[bj[upper]])
+            out_cos.append(np.round(blk[bi[upper], bj[upper]], 6))
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype)
         return pd.DataFrame(
             {
-                "a_id": ids[iu[keep]],
-                "b_id": ids[ju[keep]],
-                "cell": np.full(int(keep.sum()), int(pdf["cell"].iloc[0])),
-                "cos_sim": np.round(cos[iu, ju][keep], 6),
+                "a_id": a,
+                "b_id": np.concatenate(out_b) if out_b else a,
+                "cell": np.full(len(a), cell),
+                "cos_sim": np.concatenate(out_cos) if out_cos else a,
             }
         )
 

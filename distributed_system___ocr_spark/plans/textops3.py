@@ -367,23 +367,43 @@ _PACK_TARGET = 4096  # chars per packed training sequence
 def pack_docs_greedy(spark, sf_dir):
     """Sequence packing: assign docs to fixed-budget training bins by
     cumulative length in a DETERMINISTIC order (doc_id) per language —
-    bin = floor(preceding_cum / target). One window shuffle on lang;
-    the order-by-key form is what makes packing reproducible across
-    reruns/resumes (an RNG- or arrival-order packer is not). A doc
-    larger than the budget still lands in exactly one bin (oversize
-    bins are the documented greedy behavior, split upstream by
-    chunk_documents)."""
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    bin = floor(preceding_cum / target). The order-by-key form is what
+    makes packing reproducible across reruns/resumes (an RNG- or
+    arrival-order packer is not). A doc larger than the budget still
+    lands in exactly one bin (oversize bins are the documented greedy
+    behavior, split upstream by chunk_documents).
+
+    Physical plan (round-5 rewrite): the naive single
+    Window-per-lang serializes a whole language into one task's sort;
+    this runs operators.packing.greedy_pack_bins — an exact two-phase
+    prefix sum over monotone doc_id-range buckets, byte-identical
+    under this oracle (the regression gate) but with
+    langs x n_buckets -way parallelism. The bucket is
+    floor((doc_id - min) / span): monotone in doc_id by construction,
+    balanced when ids are near-dense (crawl-counter ids are); the
+    per-lang (min, max) stats are a languages-sized aggregate, safe
+    to broadcast at any corpus size."""
+    from ..operators.packing import N_PACK_BUCKETS, greedy_pack_bins
+
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    stats = d.groupBy("lang").agg(
+        F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx")
     )
-    d = _t(spark, sf_dir, "documents")
-    preceding = F.sum("n_chars").over(w) - F.col("n_chars")
-    return d.select(
-        "lang", "doc_id", "n_chars",
-        F.floor(preceding / _PACK_TARGET).cast("long").alias("bin_id"),
+    span = F.greatest(
+        F.ceil((F.col("_mx") - F.col("_mn") + 1) / N_PACK_BUCKETS),
+        F.lit(1),
     )
+    bucketed = (
+        d.join(F.broadcast(stats), "lang")
+        .withColumn(
+            "_bkt",
+            F.floor((F.col("doc_id") - F.col("_mn")) / span).cast("int"),
+        )
+        .drop("_mn", "_mx")
+    )
+    return greedy_pack_bins(
+        bucketed, _PACK_TARGET, "_bkt", ["doc_id"]
+    ).select("lang", "doc_id", "n_chars", "bin_id")
 
 
 # --------------------------------------------------------------------------

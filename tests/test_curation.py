@@ -344,3 +344,238 @@ def test_cli_curate_runs_extract_then_curation(spark, tmp_path):
     assert lin["input"]["n_in"] == info["n_raw_input"]
     assert lin["input"]["n_out"] == info["n_input"]
     assert info["n_raw_input"] >= info["n_input"]
+
+
+# --------------------------------------------------------------------------
+# round-5 opt-in stages: span removal, decontamination, temperature
+# sampling — wired INTO the resumable pipeline (round-4 verdict item 3)
+# --------------------------------------------------------------------------
+
+_BOILER = "COOKIE BANNER ACCEPT ALL TRACKING NOTICE"
+
+
+def _boiler_docs(spark, n=12):
+    rows = []
+    for i in range(n):
+        body = " ".join(f"u{i:03d}w{j:02d}" for j in range(60))
+        rows.append(
+            {"url": f"https://ex.com/b{i:03d}",
+             "text": f"{_BOILER} {body}", "lang": "en"}
+        )
+    # one doc without the boilerplate (must pass through untouched)
+    rows.append(
+        {"url": "https://ex.com/clean",
+         "text": " ".join(f"clean{j:02d}" for j in range(60)),
+         "lang": "en"}
+    )
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_span_removal_stage_strips_boilerplate(spark, tmp_path):
+    out = str(tmp_path / "cur")
+    docs = _boiler_docs(spark)
+    info = run_curation(
+        spark, docs, out, run_id="s1", remove_spans_min_docs=3,
+    )
+    texts = {r["url"]: r["text"] for r in read_curated(spark, out).collect()}
+    assert texts, "no survivors"
+    for url, text in texts.items():
+        for tok in _BOILER.split():
+            assert tok not in text.split(), (url, tok)
+    # the clean doc passes through with its exact token stream
+    assert texts["https://ex.com/clean"] == " ".join(
+        f"clean{j:02d}" for j in range(60)
+    )
+    assert info["n_after_span_removal"] == info["n_after_quality_gate"]
+    lin = {
+        r["stage"]: (r["n_in"], r["n_out"])
+        for r in spark.read.parquet(info["lineage_path"]).collect()
+    }
+    assert lin["span_removal"] == (
+        info["n_after_quality_gate"], info["n_after_span_removal"]
+    )
+
+    # span config is part of the dataflow identity
+    assert run_curation(
+        spark, docs, out, run_id="s2", remove_spans_min_docs=3,
+    ).get("skipped_noop") is True
+    assert "skipped_noop" not in run_curation(
+        spark, docs, out, run_id="s3", remove_spans_min_docs=100,
+    )
+
+
+def test_span_removal_drops_docs_emptied_to_blank(spark, tmp_path):
+    """A doc that is ALL boilerplate must drop at the span stage (it
+    cannot train), with the drop visible in lineage."""
+    out = str(tmp_path / "cur")
+    docs = _boiler_docs(spark).unionByName(
+        spark.createDataFrame(pd.DataFrame([
+            {"url": "https://ex.com/allboiler", "text": _BOILER,
+             "lang": "en"},
+        ]))
+    )
+    info = run_curation(
+        spark, docs, out, run_id="s1", remove_spans_min_docs=3,
+    )
+    survivors = {r["url"] for r in read_curated(spark, out).collect()}
+    assert "https://ex.com/allboiler" not in survivors
+    assert info["n_after_span_removal"] < info["n_after_quality_gate"]
+
+
+def test_decontamination_stage_drops_eval_overlap(spark, tmp_path):
+    out = str(tmp_path / "cur")
+    docs = _docs(spark, n=16)
+    # eval corpus shares an exact 5-gram with doc 3 only (its unique
+    # token stream)
+    eval_docs = spark.createDataFrame(pd.DataFrame([
+        {"text": " ".join(f"w003q{j:02d}" for j in range(5))},
+        {"text": "an unrelated benchmark prompt about nothing shared"},
+    ]))
+    info = run_curation(
+        spark, docs, out, run_id="d1", decon_eval=eval_docs,
+    )
+    survivors = {r["url"] for r in read_curated(spark, out).collect()}
+    assert "https://ex.com/d003" not in survivors
+    assert "https://ex.com/d004" in survivors
+    assert info["n_after_decon"] == info["n_after_neardup"] - 1
+    lin = {
+        r["stage"]: (r["n_in"], r["n_out"])
+        for r in spark.read.parquet(info["lineage_path"]).collect()
+    }
+    assert lin["decontaminate"] == (
+        info["n_after_neardup"], info["n_after_decon"]
+    )
+
+    # same eval -> no-op; CHANGED EVAL CONTENT must re-curate (the
+    # eval corpus is an input: fingerprint covers it)
+    assert run_curation(
+        spark, docs, out, run_id="d2", decon_eval=eval_docs,
+    ).get("skipped_noop") is True
+    eval2 = spark.createDataFrame(pd.DataFrame([
+        {"text": " ".join(f"w007q{j:02d}" for j in range(5))},
+    ]))
+    info3 = run_curation(
+        spark, docs, out, run_id="d3", decon_eval=eval2,
+    )
+    assert "skipped_noop" not in info3
+    assert "https://ex.com/d007" not in {
+        r["url"] for r in read_curated(spark, out).collect()
+    }
+
+
+def test_temperature_sampling_stage_rebalances(spark, tmp_path):
+    out = str(tmp_path / "cur")
+    rows = []
+    for i in range(40):  # 40 en docs vs 4 fr docs
+        body = " ".join(f"e{i:03d}x{j:02d}" for j in range(60))
+        rows.append({"url": f"https://en.com/{i}", "text": body,
+                     "lang": "en"})
+    for i in range(4):
+        body = " ".join(f"f{i:03d}y{j:02d}" for j in range(60))
+        rows.append({"url": f"https://fr.com/{i}", "text": body,
+                     "lang": "fr"})
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    info = run_curation(
+        spark, docs, out, run_id="t1", sample_alpha=0.3,
+    )
+    survivors = [r for r in read_curated(spark, out).collect()]
+    by_lang = {}
+    for r in survivors:
+        by_lang.setdefault(r["lang"], set()).add(r["url"])
+    # smallest language keeps 100%; the dominant one is downsampled
+    assert len(by_lang.get("fr", set())) == 4
+    assert 0 < len(by_lang["en"]) < 40
+    assert info["n_survivors"] == len(survivors)
+    lin = {
+        r["stage"]: (r["n_in"], r["n_out"])
+        for r in spark.read.parquet(info["lineage_path"]).collect()
+    }
+    assert lin["temperature_sample"] == (
+        info["n_after_decon"], info["n_survivors"]
+    )
+    # deterministic: same corpus + alpha -> no-op; different alpha
+    # re-curates
+    assert run_curation(
+        spark, docs, out, run_id="t2", sample_alpha=0.3,
+    ).get("skipped_noop") is True
+    assert "skipped_noop" not in run_curation(
+        spark, docs, out, run_id="t3", sample_alpha=0.9,
+    )
+
+
+def test_all_stages_compose_in_one_run(spark, tmp_path):
+    """The full opt-in dataflow in one resumable job: gate + span
+    removal + dedup + decon + sampling + chunk + pack, with a
+    consistent lineage chain (each stage's n_in == predecessor's
+    n_out)."""
+    out = str(tmp_path / "cur")
+    docs = _docs(spark, n=30).unionByName(_boiler_docs(spark, n=6))
+    eval_docs = spark.createDataFrame(pd.DataFrame([
+        {"text": " ".join(f"w005q{j:02d}" for j in range(5))},
+    ]))
+    info = run_curation(
+        spark, docs, out, run_id="all1",
+        quality_min_chars=50, quality_dup_bigram_max=0.8,
+        remove_spans_min_docs=3, decon_eval=eval_docs,
+        sample_alpha=0.5,
+    )
+    lin = sorted(
+        (r["stage_idx"], r["stage"], r["n_in"], r["n_out"])
+        for r in spark.read.parquet(info["lineage_path"]).collect()
+    )
+    names = [s for _, s, _, _ in lin]
+    assert names == [
+        "input", "quality_gate", "span_removal", "exact_dedup",
+        "neardup_prune", "decontaminate", "temperature_sample",
+        "chunk", "pack",
+    ]
+    for (_, _, _, prev_out), (_, stage, n_in, _) in zip(lin, lin[1:]):
+        assert n_in == prev_out, (stage, n_in, prev_out)
+    assert info["n_survivors"] > 0 and info["n_bins"] > 0
+    assert "https://ex.com/d005" not in {
+        r["url"] for r in read_curated(spark, out).collect()
+    }
+    # unchanged everything -> no-op resume of the composed dataflow
+    assert run_curation(
+        spark, docs, out, run_id="all2",
+        quality_min_chars=50, quality_dup_bigram_max=0.8,
+        remove_spans_min_docs=3, decon_eval=eval_docs,
+        sample_alpha=0.5,
+    ).get("skipped_noop") is True
+
+
+def test_algorithm_version_bump_recurates(spark, tmp_path, monkeypatch):
+    """Round-4 advice (medium): a code upgrade that changes stage
+    output for the same input must re-curate, not false no-op-resume —
+    the dataflow version (and the minhash algorithm constants it
+    stands with) are part of the fingerprint."""
+    import distributed_system___ocr_spark.curation as cur
+
+    out = str(tmp_path / "cur")
+    docs = _docs(spark, n=10)
+    run_curation(spark, docs, out, run_id="v1")
+    assert run_curation(spark, docs, out, run_id="v2").get(
+        "skipped_noop"
+    ) is True
+    monkeypatch.setattr(cur, "CURATION_DATAFLOW_VERSION", 99)
+    info = run_curation(spark, docs, out, run_id="v3")
+    assert "skipped_noop" not in info
+    assert load_curation_snapshot(out)["latest_run"] == "v3"
+
+
+def test_cli_rejects_quality_flags_without_gate_switch():
+    """Round-4 advice: --quality-max-chars / --quality-dup-bigram-max
+    silently did nothing without --quality-min-chars; now they error
+    out before any Spark work."""
+    import pytest as _pytest
+
+    from distributed_system___ocr_spark.cli import main
+
+    for flags in (
+        ["--quality-max-chars", "500"],
+        ["--quality-dup-bigram-max", "0.1"],
+    ):
+        with _pytest.raises(SystemExit) as exc:
+            main(["--synthetic", "10", "--output", "/tmp/x",
+                  "--run-id", "r", *flags])
+        assert exc.value.code == 2

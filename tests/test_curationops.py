@@ -29,8 +29,8 @@ def test_semdedup_complete_and_exact_within_cells(spark):
     same-cell pair above tau missing), soundness (nothing below tau or
     cross-cell), and cosine values matching exact float64 to 6 dp."""
     from distributed_system___ocr_spark.operators.kmeans import kmeans_train
+    from distributed_system___ocr_spark.plans.curationops import semdedup_k
     from distributed_system___ocr_spark.plans.vectorops import (
-        _N_CELLS,
         _TRAINED_CENTROIDS,
         _emb_fingerprint,
         _model_cache_get,
@@ -44,10 +44,11 @@ def test_semdedup_complete_and_exact_within_cells(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
         "vec_id", _spark_dvec(F.col("embedding")).alias("v")
     )
+    k = semdedup_k(emb.count())
     cents = _model_cache_get(
         _TRAINED_CENTROIDS,
-        _emb_fingerprint(SF),
-        lambda: kmeans_train(emb, k=_N_CELLS, iters=3),
+        (_emb_fingerprint(SF), "semdedup", k),
+        lambda: kmeans_train(emb, k=k, iters=3),
     )
     rows = (
         emb.withColumn("cell", ivf_cell_udf(cents)(F.col("v")))
@@ -76,6 +77,44 @@ def test_semdedup_deterministic_across_invocations(spark):
     assert _pairs_set(semdedup_pairs(spark, SF)) == _pairs_set(
         semdedup_pairs(spark, SF)
     )
+
+
+def test_semdedup_k_scales_with_corpus():
+    """Round-5 scale fix: the quantizer size must GROW with the corpus
+    (k ~ sqrt(N)) instead of pinning parallelism and per-cell memory
+    at a fixed 16 cells — floored for small fixtures, capped for the
+    assignment-cost regime, never above N."""
+    from distributed_system___ocr_spark.plans.curationops import (
+        _SEMDEDUP_K_MAX,
+        _SEMDEDUP_K_MIN,
+        semdedup_k,
+    )
+
+    assert semdedup_k(5) == 5                      # never above N
+    assert semdedup_k(200) == _SEMDEDUP_K_MIN      # floor
+    n = 1_000_000
+    assert semdedup_k(n) == 1000
+    assert semdedup_k(100 * n) == 10 * semdedup_k(n)  # 100x data -> 10x k
+    assert semdedup_k(10**13) == _SEMDEDUP_K_MAX   # cap
+    # per-cell expected size N/k stays ~sqrt(N): at 10x the corpus,
+    # k grows so cells grow only ~sqrt(10)x, not 10x
+    assert semdedup_k(10 * n) / semdedup_k(n) >= 3
+
+
+def test_semdedup_chunked_matmul_equals_unchunked(spark):
+    """The block-chunked within-cell cosine scan must emit exactly the
+    pairs of one full matmul — forcing a block size smaller than the
+    cell exercises the cross-block upper-triangle bookkeeping."""
+    import distributed_system___ocr_spark.plans.curationops as co
+
+    base = _pairs_set(semdedup_pairs(spark, SF))
+    orig = co._SEMDEDUP_BLOCK
+    co._SEMDEDUP_BLOCK = 7  # smaller than every cell at this sf
+    try:
+        chunked = _pairs_set(semdedup_pairs(spark, SF))
+    finally:
+        co._SEMDEDUP_BLOCK = orig
+    assert chunked == base and base
 
 
 def test_common_ngram_gate_fires(spark):
@@ -283,3 +322,40 @@ def test_temperature_sampling_rebalances(spark):
     a = {r["doc_id"] for r in out.collect()}
     b = {r["doc_id"] for r in temperature_sampled_corpus(spark, SF).collect()}
     assert a == b
+
+
+def test_profile_sketch_bounded_error_and_no_text_exchange(spark):
+    """The default (sketch) profile must stay within HLL++ error of
+    the exact profile on every column, agree exactly on n_rows/nulls/
+    avg_len, and its plan must NOT shuffle text values — the whole
+    point of sketching (round-4 verdict item 3)."""
+    from distributed_system___ocr_spark.plans.curationops import (
+        profile_documents,
+        profile_documents_sketch,
+    )
+
+    sk = profile_documents_sketch(spark, SF)
+    exact = {
+        r["column_name"]: r for r in profile_documents(spark, SF).collect()
+    }
+    got = {r["column_name"]: r for r in sk.collect()}
+    assert set(got) == set(exact) == {"text", "lang", "source"}
+    for c, r in got.items():
+        e = exact[c]
+        assert (r["n_rows"], r["n_nulls"], r["avg_len"]) == (
+            e["n_rows"], e["n_nulls"], e["avg_len"]
+        )
+        assert abs(r["n_distinct"] - e["n_distinct"]) <= max(
+            2, 0.10 * e["n_distinct"]
+        ), (c, r["n_distinct"], e["n_distinct"])
+
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "approx_count_distinct" in plan
+    # exact distinct over a column puts the column INTO a
+    # hash-partitioned exchange key; the sketch plan must not
+    assert "hashpartitioning(text" not in plan
+    exact_plan = (
+        profile_documents(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(text" in exact_plan  # audit detects it

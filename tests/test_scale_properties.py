@@ -346,3 +346,98 @@ def test_asof_carries_nullable_right_columns_atomically(spark):
         }
         assert got[10] == (2, None), (form.__name__, got)
         assert got[11] == (4, None), (form.__name__, got)
+
+
+# --------------------------------------------------------------------------
+# two-phase greedy packing (round-5: the round-4 verdict's scale-killer)
+# --------------------------------------------------------------------------
+
+def _hot_lang_chunks(spark, n_docs=300, chunks_per_doc=4):
+    """>=50% of chunks in ONE language — the Common-Crawl shape that
+    serialized the naive per-lang packing window into a single task."""
+    rows = []
+    for i in range(n_docs):
+        lang = "en" if i % 2 == 0 or i % 3 == 0 else f"l{i % 5}"
+        for c in range(chunks_per_doc):
+            rows.append(
+                {"url": f"https://h{i % 97}.example.com/d{i:04d}",
+                 "lang": lang, "chunk_idx": c,
+                 "chunk": "x" * (50 + (i * 7 + c * 13) % 200),
+                 "n_chars": 50 + (i * 7 + c * 13) % 200}
+            )
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_two_phase_pack_equals_naive_single_window(spark):
+    """The two-phase prefix sum must be BYTE-IDENTICAL to the naive
+    single-window plan under the same total order — the decomposition
+    is exact, not approximate."""
+    from pyspark.sql import Window
+
+    from distributed_system___ocr_spark.curation import pack_chunks_greedy
+    from distributed_system___ocr_spark.operators.packing import (
+        monotone_hash_bucket,
+    )
+
+    chunks = _hot_lang_chunks(spark)
+    target = 4096
+    got = {
+        (r["url"], r["chunk_idx"]): r["bin_id"]
+        for r in pack_chunks_greedy(chunks, target).collect()
+    }
+    # naive reference: ONE window per lang over the same global order
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(monotone_hash_bucket("url"), "url", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = chunks.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_chars").over(w) - F.col("n_chars")) / target
+        ).cast("long"),
+    )
+    want = {
+        (r["url"], r["chunk_idx"]): r["bin_id"] for r in naive.collect()
+    }
+    assert got == want and len(got) == chunks.count()
+
+
+def test_pack_hot_lang_runs_bucket_parallel_window(spark):
+    """Under a hot language, the executed plan's corpus-sized Window
+    must partition by (lang, bucket) — never lang alone — and the
+    output must keep the packing invariants (budget-bounded bins,
+    contiguous ids per lang, rerun-determinism)."""
+    from distributed_system___ocr_spark.curation import pack_chunks_greedy
+
+    chunks = _hot_lang_chunks(spark)
+    packed = pack_chunks_greedy(chunks, 4096)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(lang#" in line and "_bkt" not in line:
+            # the only lang-alone window allowed is the one over the
+            # bounded per-bucket totals (its sum is _bucket_total)
+            assert "_bucket_total" in line, line
+    rows = packed.collect()
+    again = {
+        (r["url"], r["chunk_idx"]): r["bin_id"]
+        for r in pack_chunks_greedy(chunks, 4096).collect()
+    }
+    assert {(r["url"], r["chunk_idx"]): r["bin_id"] for r in rows} == again
+
+    bins: dict[tuple, int] = {}
+    for r in rows:
+        bins[(r["lang"], r["bin_id"])] = (
+            bins.get((r["lang"], r["bin_id"]), 0) + r["n_chars"]
+        )
+    max_chunk = max(r["n_chars"] for r in rows)
+    for (lang, b), total in bins.items():
+        assert total <= 4096 + max_chunk, (lang, b, total)
+    for lang in {k[0] for k in bins}:
+        ids = sorted(b for l, b in bins if l == lang)
+        assert ids == list(range(len(ids))), (lang, ids)
+    # the hot lang actually dominates (fixture honesty) and spreads
+    # over many buckets
+    from collections import Counter
+    by_lang = Counter(r["lang"] for r in rows)
+    assert by_lang["en"] >= sum(by_lang.values()) / 2
