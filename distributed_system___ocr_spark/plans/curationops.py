@@ -991,3 +991,156 @@ def semdedup_pairs(spark, sf_dir):
     return assigned.groupBy("cell").applyInPandas(
         cell_pairs, "a_id long, b_id long, cell int, cos_sim double"
     )
+
+
+# --------------------------------------------------------------------------
+# per-domain document caps (anti-spam quota, round 5)
+# --------------------------------------------------------------------------
+# The C4/RefinedWeb-style "no domain dominates the corpus" rule: keep
+# at most K docs per source (the corpus's domain analogue), preferring
+# the longest ones with a doc_id tie-break so the survivor set is
+# deterministic. Scale shape: a rank<=K predicate over a per-source
+# window becomes WindowGroupLimit in the physical plan — Spark keeps a
+# per-PARTITION top-K heap BEFORE the shuffle, so a hot domain with
+# millions of pages ships at most K rows per map task instead of all
+# of them (pinned by tests/test_curationops.py plan assertion).
+
+_DOMAIN_CAP = 15
+
+
+@register(
+    "domain_cap_survivors",
+    f"""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id) <= {_DOMAIN_CAP}
+    """,
+)
+def domain_cap_survivors(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _DOMAIN_CAP)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style LM-quality buckets (head / middle / tail, round 5)
+# --------------------------------------------------------------------------
+# CCNet splits each language's corpus into perplexity terciles and
+# trains mostly on the "head". The literal ntile(3) formulation is a
+# corpus-sized single-task sort per language — exactly the skew class
+# the round-4 verdict flagged for packing — so this uses the SCALABLE
+# equivalent: z-score buckets against per-lang mean/stddev of the
+# unigram log-prob score. The stats side is one languages-sized
+# aggregate (broadcast at any corpus size); bucketing is then a
+# scan-stage CASE. Cross-engine determinism: the score is the proven
+# bit-exact unigram_logprob_score value; mean/std come from
+# decimal-exact sums of (score, score^2) rounded to fixed scales, cast
+# to double only for the final identical-in-both-engines arithmetic.
+
+_ZB_HI = 0.5  # z > +0.5 -> head; z < -0.5 -> tail
+
+
+@register(
+    "lm_quality_zbuckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS ctf FROM toks GROUP BY term),
+    tot AS (SELECT count(*) AS n_total FROM toks),
+    lp AS (
+      SELECT term,
+             CAST(round(ln(ctf / n_total), 9) AS DECIMAL(20,9)) AS logp
+      FROM tf, tot
+    ),
+    score AS (
+      SELECT doc_id,
+             round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS s
+      FROM toks JOIN lp USING (term)
+      GROUP BY doc_id
+    ),
+    sl AS (
+      SELECT d.doc_id, d.lang, s.s FROM documents d JOIN score s USING (doc_id)
+    ),
+    stats AS (
+      SELECT lang, count(*) AS n,
+             CAST(sum(CAST(round(s, 6) AS DECIMAL(20,6))) AS DOUBLE)
+               AS sum_s,
+             CAST(sum(CAST(round(s * s, 9) AS DECIMAL(25,9))) AS DOUBLE)
+               AS sum_s2
+      FROM sl GROUP BY lang
+    ),
+    b AS (
+      SELECT lang,
+             sum_s / n AS mu,
+             sqrt(greatest((sum_s2 - sum_s * sum_s / n) / n, 0)) AS sigma
+      FROM stats
+    )
+    SELECT sl.doc_id, sl.lang, sl.s AS avg_logprob,
+           CASE WHEN sl.s > b.mu + {_ZB_HI} * b.sigma THEN 'head'
+                WHEN sl.s < b.mu - {_ZB_HI} * b.sigma THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM sl JOIN b USING (lang)
+    """,
+)
+def lm_quality_zbuckets(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("ctf"))
+    tot = toks.agg(F.count("*").alias("n_total"))
+    lp = tf.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(F.log(F.col("ctf") / F.col("n_total")), 9)
+        .cast("decimal(20,9)").alias("logp"),
+    )
+    score = (
+        toks.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum("logp").cast("double") / F.count("*"), 6
+            ).alias("s")
+        )
+    )
+    sl = d.select("doc_id", "lang").join(score, "doc_id")
+    stats = sl.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("s"), 6).cast("decimal(20,6)"))
+        .cast("double").alias("sum_s"),
+        F.sum(F.round(F.col("s") * F.col("s"), 9).cast("decimal(25,9)"))
+        .cast("double").alias("sum_s2"),
+    )
+    b = stats.select(
+        "lang",
+        (F.col("sum_s") / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.greatest(
+                (F.col("sum_s2")
+                 - F.col("sum_s") * F.col("sum_s") / F.col("n"))
+                / F.col("n"),
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    bucket = (
+        F.when(
+            F.col("s") > F.col("mu") + _ZB_HI * F.col("sigma"), "head"
+        )
+        .when(F.col("s") < F.col("mu") - _ZB_HI * F.col("sigma"), "tail")
+        .otherwise("middle")
+    )
+    return sl.join(F.broadcast(b), "lang").select(
+        "doc_id", "lang", F.col("s").alias("avg_logprob"),
+        bucket.alias("bucket"),
+    )

@@ -359,3 +359,64 @@ def test_profile_sketch_bounded_error_and_no_text_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "hashpartitioning(text" in exact_plan  # audit detects it
+
+
+def test_domain_cap_fires_and_uses_window_group_limit(spark):
+    """Per-domain quota: no source exceeds the cap, the gate actually
+    drops rows at test sf, survivors are the deterministic top-K
+    (longest, doc_id tie-break), and the physical plan contains
+    WindowGroupLimit — the per-partition top-K heap that makes a hot
+    domain ship K rows per map task instead of millions."""
+    from distributed_system___ocr_spark.plans.curationops import (
+        _DOMAIN_CAP,
+        domain_cap_survivors,
+    )
+
+    df = domain_cap_survivors(spark, SF)
+    rows = df.collect()
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert 0 < len(rows) < total  # the cap fired
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["n_chars"], r["doc_id"]))
+    full = {
+        r["source"]: sorted(
+            ((rr["n_chars"], rr["doc_id"])
+             for rr in spark.read.parquet(f"{SF}/documents.parquet")
+             .select("source", "n_chars", "doc_id").collect()
+             if rr["source"] == r["source"]),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for r in rows
+    }
+    for src, kept in by_src.items():
+        assert len(kept) <= _DOMAIN_CAP
+        expect = full[src][:_DOMAIN_CAP]
+        assert sorted(kept, key=lambda x: (-x[0], x[1])) == expect, src
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_lm_quality_zbuckets_ordered_and_all_fire(spark):
+    """Head/middle/tail must all occur (a bucketing that never fires
+    is not evidence), and mean score must strictly decrease
+    head > middle > tail within every language that has all three."""
+    from distributed_system___ocr_spark.plans.curationops import (
+        lm_quality_zbuckets,
+    )
+
+    rows = lm_quality_zbuckets(spark, SF).collect()
+    buckets = {r["bucket"] for r in rows}
+    assert buckets == {"head", "middle", "tail"}
+    by_lang: dict[str, dict[str, list]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {}).setdefault(
+            r["bucket"], []
+        ).append(r["avg_logprob"])
+    checked = 0
+    for lang, bk in by_lang.items():
+        if set(bk) == {"head", "middle", "tail"}:
+            mean = {b: sum(v) / len(v) for b, v in bk.items()}
+            assert mean["head"] > mean["middle"] > mean["tail"], lang
+            checked += 1
+    assert checked > 0
