@@ -341,12 +341,21 @@ def chunk_docs(
         f"substring(text, chunk_idx * {int(chunk_stride)} + 1, "
         f"{int(chunk_size)})"
     )
+    # n_chars arithmetically, NOT length(substring(...)): equivalent
+    # (== length(chunk), pinned in tests), but lets a consumer that
+    # only needs sizes — the two-phase packer's per-bucket totals
+    # branch — prune the chunk bytes instead of re-materializing every
+    # substring just to measure it (one full text scan saved per pack)
+    n_chars = F.least(
+        F.lit(int(chunk_size)),
+        F.length("text") - F.col("chunk_idx") * int(chunk_stride),
+    )
     return c.select(
         "url",
         "lang",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         chunk.alias("chunk"),
-        F.length(chunk).cast("long").alias("n_chars"),
+        n_chars.cast("long").alias("n_chars"),
     )
 
 

@@ -339,11 +339,18 @@ def chunk_documents(spark, sf_dir):
     chunk = F.expr(
         f"substring(text, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_SZ})"
     )
+    # n_chars arithmetically (== length(chunk), same value the oracle
+    # computes): a size-only consumer prunes the chunk bytes instead
+    # of re-materializing every substring to measure it
+    n_chars = F.least(
+        F.lit(_CHUNK_SZ),
+        F.length("text") - F.col("chunk_idx") * _CHUNK_STRIDE,
+    )
     return c.select(
         "doc_id",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         chunk.alias("chunk"),
-        F.length(chunk).cast("long").alias("n_chars"),
+        n_chars.cast("long").alias("n_chars"),
     )
 
 

@@ -579,3 +579,17 @@ def test_cli_rejects_quality_flags_without_gate_switch():
             main(["--synthetic", "10", "--output", "/tmp/x",
                   "--run-id", "r", *flags])
         assert exc.value.code == 2
+
+
+def test_chunk_n_chars_arithmetic_equals_length(spark):
+    """n_chars is computed arithmetically (least(size, len - idx*stride))
+    so size-only consumers prune the chunk bytes — it must equal
+    length(chunk) on every row for any config."""
+    from distributed_system___ocr_spark.curation import chunk_docs
+
+    docs = _docs(spark, n=8)
+    for size, stride in ((2048, 1792), (100, 100), (7, 3)):
+        rows = chunk_docs(docs, size, stride).collect()
+        assert rows
+        for r in rows:
+            assert r["n_chars"] == len(r["chunk"]), (size, stride, r)
