@@ -176,6 +176,10 @@ def remove_boilerplate_spans(
     the registry op). Scale shape: linear explodes, one gram
     document-frequency aggregation, bounded n x coverage explode of
     MATCHED grams only, one per-doc reassembly agg — nothing pairwise.
+
+    ``docs`` must be url-unique (the extraction output's contract —
+    last-wins dedup guarantees it); duplicate urls would merge token
+    streams in the reassembly.
     """
     toks, grams_expr = _token_ngrams(n)
     staged = docs.select("url", "lang", toks.alias("t"))
@@ -242,8 +246,7 @@ def decontaminate_against(
     broadcasts it from measured size); contaminated urls form a
     url-level semi-join result, and the anti-join back runs on url —
     document text crosses no shuffle."""
-    _, grams_expr = _token_ngrams(n)
-    toks, _ = _token_ngrams(n)
+    toks, grams_expr = _token_ngrams(n)
     doc_grams = (
         docs.select("url", toks.alias("t"))
         .filter(F.size("t") >= n)

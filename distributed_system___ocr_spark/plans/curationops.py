@@ -1144,3 +1144,43 @@ def lm_quality_zbuckets(spark, sf_dir):
         "doc_id", "lang", F.col("s").alias("avg_logprob"),
         bucket.alias("bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# approximate quantile sketch (Greenwald-Khanna percentile_approx)
+# --------------------------------------------------------------------------
+# The sketch path for distribution stats at 10^12 rows, completing the
+# sketch family (HLL distinct counts above): percentile_approx merges
+# bounded Greenwald-Khanna summaries associatively across partitions —
+# constant memory per task, one partial+final agg — where the exact
+# form (value_quantiles_by_type's median) must see every value per
+# group. Spark's GK sketch and DuckDB's approx_quantile differ, so
+# rows-only; the pytest invariant bounds the rank error against exact
+# percentiles and pins determinism (GK is seed-free, and accuracy=
+# 10000 fixes the summary resolution).
+
+_PCTL_ACCURACY = 10_000
+
+
+@register("doc_length_quantiles_sketch", None)
+def doc_length_quantiles_sketch(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.percentile_approx(
+                "n_chars", [0.25, 0.5, 0.75, 0.99], _PCTL_ACCURACY
+            ).alias("q"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "lang", "n_docs",
+            F.element_at("q", 1).alias("p25"),
+            F.element_at("q", 2).alias("p50"),
+            F.element_at("q", 3).alias("p75"),
+            F.element_at("q", 4).alias("p99"),
+            "min_chars", "max_chars",
+        )
+    )

@@ -420,3 +420,43 @@ def test_lm_quality_zbuckets_ordered_and_all_fire(spark):
             assert mean["head"] > mean["middle"] > mean["tail"], lang
             checked += 1
     assert checked > 0
+
+
+def test_doc_length_quantiles_sketch_bounded_rank_error(spark):
+    """The GK sketch quantiles must sit within the documented rank
+    error of the exact distribution (at accuracy=10000 and test-sf
+    group sizes the summary is effectively exact — assert a tight
+    rank bound, not value closeness), be deterministic, and respect
+    p25 <= p50 <= p75 <= p99 plus the min/max envelope."""
+    from distributed_system___ocr_spark.plans.curationops import (
+        doc_length_quantiles_sketch,
+    )
+
+    rows = {r["lang"]: r for r in
+            doc_length_quantiles_sketch(spark, SF).collect()}
+    assert rows
+    vals_by_lang: dict[str, list] = {}
+    for r in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        vals_by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    for lang, r in rows.items():
+        vals = sorted(vals_by_lang[lang])
+        n = len(vals)
+        assert r["n_docs"] == n
+        assert r["min_chars"] == vals[0] and r["max_chars"] == vals[-1]
+        assert (r["p25"] <= r["p50"] <= r["p75"] <= r["p99"])
+        for p, got in (("p25", .25), ("p50", .5), ("p75", .75), ("p99", .99)):
+            q = r[p]
+            assert vals[0] <= q <= vals[-1]
+            # rank of the sketch answer within eps=1/accuracy (+1 for
+            # boundary discreteness) of the target rank
+            import bisect
+            lo = bisect.bisect_left(vals, q)
+            hi = bisect.bisect_right(vals, q) - 1
+            target = got * (n - 1)
+            eps = n / 10_000 + 1
+            assert lo - eps <= target <= hi + eps, (lang, p, q)
+    again = {r["lang"]: r for r in
+             doc_length_quantiles_sketch(spark, SF).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
