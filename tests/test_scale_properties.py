@@ -441,3 +441,53 @@ def test_pack_hot_lang_runs_bucket_parallel_window(spark):
     from collections import Counter
     by_lang = Counter(r["lang"] for r in rows)
     assert by_lang["en"] >= sum(by_lang.values()) / 2
+
+
+def test_two_phase_pack_equality_randomized(spark):
+    """Property form of the equality pin: random corpora (varying lang
+    skew, chunk counts, sizes, single-doc languages, tiny targets that
+    force many bins) must produce bin assignments identical to the
+    naive single-window plan — including the negative bucket ids the
+    signed hash floor-division produces."""
+    import random
+
+    from pyspark.sql import Window
+
+    from distributed_system___ocr_spark.curation import pack_chunks_greedy
+    from distributed_system___ocr_spark.operators.packing import (
+        monotone_hash_bucket,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(6):
+        n_docs = rng.randint(1, 60)
+        langs = ["en"] * rng.randint(1, 4) + ["fr", "zz"][: rng.randint(0, 2)]
+        rows = []
+        for i in range(n_docs):
+            for c in range(rng.randint(1, 3)):
+                rows.append(
+                    {"url": f"https://t{trial}.ex/{rng.randrange(10**9)}-{i}",
+                     "lang": rng.choice(langs), "chunk_idx": c,
+                     "chunk": "", "n_chars": rng.randint(1, 300)}
+                )
+        target = rng.choice([37, 512, 4096])
+        chunks = spark.createDataFrame(pd.DataFrame(rows))
+        got = {
+            (r["url"], r["chunk_idx"]): r["bin_id"]
+            for r in pack_chunks_greedy(chunks, target).collect()
+        }
+        w = (
+            Window.partitionBy("lang")
+            .orderBy(monotone_hash_bucket("url"), "url", "chunk_idx")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        want = {
+            (r["url"], r["chunk_idx"]): r["bin_id"]
+            for r in chunks.withColumn(
+                "bin_id",
+                F.floor(
+                    (F.sum("n_chars").over(w) - F.col("n_chars")) / target
+                ).cast("long"),
+            ).collect()
+        }
+        assert got == want and len(got) == len(rows), (trial, target)
