@@ -37,9 +37,8 @@ scan stage; packing is an exact two-phase prefix sum — local cumsums
 per (lang, hash-bucket) plus broadcast per-bucket offsets
 (operators/packing.py), so no single task ever sorts a whole
 language. Payload text crosses a shuffle only where content must meet
-content (the dedup window, the band join, and the opt-in span-removal
-reassembly) — never for chunk/pack, which read the survivors straight
-off their parquet scan.
+content (the dedup window and the band join) — never for chunk/pack
+or the span-removal rebuild, which run in the scan stage.
 """
 
 from __future__ import annotations
@@ -173,9 +172,11 @@ def remove_boilerplate_spans(
     registry query (plans/curationops.py), keyed on url and emitting
     the full (url, text, lang) doc schema so it chains ahead of dedup.
     Inter-token whitespace is canonicalized to single spaces (same as
-    the registry op). Scale shape: linear explodes, one gram
+    the registry op). Scale shape: linear gram explode, one gram
     document-frequency aggregation, bounded n x coverage explode of
-    MATCHED grams only, one per-doc reassembly agg — nothing pairwise.
+    MATCHED grams only aggregated to one positions-array per doc, and
+    a per-row array rebuild — nothing pairwise, and the token stream
+    never crosses a shuffle.
 
     ``docs`` must be url-unique (the extraction output's contract —
     last-wins dedup guarantees it); duplicate urls would merge token
@@ -183,9 +184,6 @@ def remove_boilerplate_spans(
     """
     toks, grams_expr = _token_ngrams(n)
     staged = docs.select("url", "lang", toks.alias("t"))
-    tokpos = staged.select(
-        "url", "lang", F.posexplode("t").alias("pos0", "tok")
-    ).select("url", "lang", (F.col("pos0") + 1).alias("pos"), "tok")
     grams = (
         staged.filter(F.size("t") >= n)
         .select("url", F.posexplode(grams_expr).alias("s0", "g"))
@@ -197,7 +195,13 @@ def remove_boilerplate_spans(
         .filter(F.col("cd") >= min_docs)
         .select("g")
     )
-    covered = (
+    # covered positions aggregate to ONE array per doc (shuffle
+    # bounded by MATCHED grams only); the rebuild is then a per-row
+    # array program — keep_pos = array_except(1..n, cov) (hash-set
+    # linear), kept = transform(keep_pos, p -> t[p]) — so the token
+    # stream itself never crosses a shuffle (round-5: the round-4
+    # shape token-exploded the corpus and re-collected every doc).
+    cov = (
         grams.join(common, "g")
         .select(
             "url",
@@ -205,33 +209,19 @@ def remove_boilerplate_spans(
                 F.sequence(F.col("s"), F.col("s") + n - 1)
             ).alias("pos"),
         )
-        .distinct()
-        .withColumn("_cov", F.lit(1))
+        .groupBy("url")
+        .agg(F.collect_set("pos").alias("_cov"))
     )
-    joined = tokpos.join(covered, ["url", "pos"], "left")
-    kept_in_order = F.array_join(
-        F.transform(
-            F.filter(
-                F.array_sort(F.collect_list(F.struct("pos", "_cov", "tok"))),
-                lambda x: x["_cov"].isNull(),
-            ),
-            lambda x: x["tok"],
-        ),
-        " ",
-    )
-    cleaned = joined.groupBy("url", "lang").agg(
-        kept_in_order.alias("_cleaned")
-    )
-    # docs whose text has no tokens at all (whitespace-only) produce
-    # zero tokpos rows — a left join keeps them instead of silently
-    # losing the row; their cleaned text is ''
-    return (
-        docs.join(cleaned, ["url", "lang"], "left")
-        .select(
-            "url",
-            F.coalesce(F.col("_cleaned"), F.lit("")).alias("text"),
-            "lang",
-        )
+    joined = staged.join(cov, "url", "left")
+    cov_arr = F.coalesce(F.col("_cov"), F.array())
+    keep_pos = F.when(
+        F.size("t") > 0,
+        F.array_except(F.sequence(F.lit(1), F.size("t")), cov_arr),
+    ).otherwise(F.array())  # sequence(1, 0) would count DOWN;
+    # whitespace-only docs keep an empty (nonblank-filtered later) text
+    kept = F.transform(keep_pos, lambda p: F.element_at("t", p))
+    return joined.select(
+        "url", F.array_join(kept, " ").alias("text"), "lang"
     )
 
 

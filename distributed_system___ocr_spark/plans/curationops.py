@@ -156,11 +156,18 @@ _SPAN_N = 5
     """,
 )
 def remove_common_spans(spark, sf_dir):
+    """Round-5 plan: reassembly is DOC-level, not token-level. The
+    round-4 shape exploded every token into (doc_id, pos, tok) rows,
+    joined them against covered positions and re-collected each doc —
+    two corpus-sized token shuffles just to rebuild strings the scan
+    already had. Now covered positions aggregate to one array per doc
+    (shuffle bounded by MATCHED grams only) and the rebuild is a
+    per-row array program: keep_pos = array_except(1..n, cov) (hash
+    set, linear), kept = transform(keep_pos, p -> t[p]) — the token
+    stream itself never crosses a shuffle. Output identical (the
+    DuckDB oracle is the regression gate)."""
     d = _t(spark, sf_dir, "documents")
     staged = d.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
-    tokpos = staged.select(
-        "doc_id", F.posexplode("t").alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
     gram = F.expr(
         "transform(sequence(1, size(t) - 4), i -> concat_ws(' ', "
         "element_at(t, i), element_at(t, i+1), element_at(t, i+2), "
@@ -177,7 +184,7 @@ def remove_common_spans(spark, sf_dir):
         .filter(F.col("cd") >= _SPAN_MIN_DOCS)
         .select("g")
     )
-    covered = (
+    cov = (
         grams.join(common, "g")
         .select(
             "doc_id",
@@ -185,27 +192,21 @@ def remove_common_spans(spark, sf_dir):
                 F.sequence(F.col("s"), F.col("s") + _SPAN_N - 1)
             ).alias("pos"),
         )
-        .distinct()
-        .withColumn("_cov", F.lit(1))
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("cov"))  # dedups; per-doc bounded
     )
-    joined = tokpos.join(covered, ["doc_id", "pos"], "left")
-    kept_in_order = F.array_join(
-        F.transform(
-            F.filter(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "_cov", "tok"))
-                ),
-                lambda x: x["_cov"].isNull(),
-            ),
-            lambda x: x["tok"],
-        ),
-        " ",
-    )
-    return joined.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.sum(F.when(F.col("_cov").isNotNull(), 1).otherwise(0))
-        .cast("long").alias("n_removed"),
-        kept_in_order.alias("cleaned_text"),
+    # a 0-token doc yields no tokpos rows in the oracle formulation,
+    # so it must not appear here either (and sequence(1, 0) would
+    # count DOWN)
+    joined = staged.filter(F.size("t") > 0).join(cov, "doc_id", "left")
+    cov_arr = F.coalesce(F.col("cov"), F.array())
+    keep_pos = F.array_except(F.sequence(F.lit(1), F.size("t")), cov_arr)
+    kept = F.transform(keep_pos, lambda p: F.element_at("t", p))
+    return joined.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(cov_arr).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("cleaned_text"),
     )
 
 
