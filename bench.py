@@ -203,6 +203,55 @@ def bench_dedup_scale(spark, tmp: str) -> list[dict]:
     return points
 
 
+def bench_curation(spark, tmp: str) -> dict:
+    """Composed curation end-to-end (gate + span removal + dedup +
+    LSH prune + decontamination + temperature sampling + chunk +
+    two-phase pack) over the 200k-page corpus's extraction output —
+    the per-round tracked number for the curation surface. Corpus
+    prep (extract + write) is untimed; the timed region is ONE
+    run_curation call, fingerprint to snapshot commit."""
+    import pandas as pd
+
+    from distributed_system___ocr_spark.corpus import pages_df
+    from distributed_system___ocr_spark.curation import run_curation
+    from distributed_system___ocr_spark.operators.extract import extract_stage
+
+    texts_path = os.path.join(tmp, "cur_docs.parquet")
+    extract_stage(
+        pages_df(spark, N_DOCS, seed=42, partitions=N_PARTS)
+    ).select("url", "text", "lang").write.mode("overwrite").parquet(
+        texts_path
+    )
+    docs = spark.read.parquet(texts_path)
+    docs.count()  # warm the scan
+    eval_docs = spark.createDataFrame(
+        pd.DataFrame(
+            [{"text": f"benchmark holdout prompt {i} zq{i}a zq{i}b "
+                      f"zq{i}c zq{i}d"} for i in range(200)]
+        )
+    )
+    t0 = time.monotonic()
+    info = run_curation(
+        spark,
+        docs,
+        os.path.join(tmp, "cur_out"),
+        run_id="bench",
+        quality_min_chars=30,
+        remove_spans_min_docs=5000,
+        decon_eval=eval_docs,
+        sample_alpha=0.7,
+    )
+    sec = time.monotonic() - t0
+    return {
+        "n_pages": N_DOCS,
+        "n_input_docs": info["n_input"],
+        "sec": round(sec, 3),
+        "docs_per_sec": round(info["n_input"] / sec, 1),
+        "n_survivors": info["n_survivors"],
+        "n_chunks": info["n_chunks"],
+    }
+
+
 def main() -> None:
     t_total = time.monotonic()
     tmp = tempfile.mkdtemp(prefix="bench_corpus_")
@@ -227,6 +276,7 @@ def main() -> None:
             )
             qtimes = bench_queries(spark)
             dedup_scale = []
+            curation = None
             spark.stop()
         else:
             # scaling FIRST, on a cold machine (query load would
@@ -319,6 +369,7 @@ def main() -> None:
             s_q = _new_session(CPUS, "bench-queries")
             qtimes = bench_queries(s_q)
             dedup_scale = [] if SKIP_DEDUP else bench_dedup_scale(s_q, tmp)
+            curation = None if SKIP_DEDUP else bench_curation(s_q, tmp)
             s_q.stop()
 
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -332,6 +383,8 @@ def main() -> None:
         }
         if dedup_scale:
             full["dedup_scale"] = dedup_scale
+        if curation:
+            full["curation"] = curation
         # The driver records only the LAST 2,000 chars of stdout; the
         # full per-query map is ~4.5 KB, which left BENCH_r01-r03
         # "parsed": null (round-3 verdict item 2). So: persist the

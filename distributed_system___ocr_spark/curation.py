@@ -234,8 +234,12 @@ def decontaminate_against(
     ``eval_docs`` needs a ``text`` column. Scale shape: the eval-gram
     side is a bounded benchmark vocabulary at any corpus size (AQE
     broadcasts it from measured size); contaminated urls form a
-    url-level semi-join result, and the anti-join back runs on url —
-    document text crosses no shuffle."""
+    url-level semi-join result, and the anti-join back runs on url.
+    Document text stays out of the shuffle as long as AQE broadcasts
+    the contaminated-url set (the typical case — it is bounded by the
+    eval suite's actual overlap); a pathological eval set that
+    contaminates a large fraction of the corpus falls back to a
+    url-keyed exchange of the doc rows."""
     toks, grams_expr = _token_ngrams(n)
     doc_grams = (
         docs.select("url", toks.alias("t"))
