@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="maintenance mode: rewrite all committed runs in --output "
         "into one compacted snapshot (no input read)",
     )
+    src.add_argument(
+        "--vacuum-curation", type=int, metavar="KEEP",
+        help="maintenance mode: drop all but the newest KEEP committed "
+        "curation runs in --output (plus crashed-run debris); vacuumed "
+        "run_ids stay replay-guarded",
+    )
     p.add_argument(
         "--curate", action="store_true",
         help="curation mode: --input is an EXTRACTION output dir; "
@@ -131,6 +137,15 @@ def main(argv: list[str] | None = None) -> int:
             "--quality-max-chars / --quality-dup-bigram-max have no "
             "effect without --quality-min-chars (the gate switch)"
         )
+    if args.vacuum_curation is not None:
+        # pure snapshot-layer maintenance: no Spark session needed
+        from .curation import vacuum_curation
+
+        t0 = time.monotonic()
+        snap = vacuum_curation(args.output, keep_last=args.vacuum_curation)
+        print(json.dumps({"vacuumed_snapshot": snap,
+                          "wall_sec": round(time.monotonic() - t0, 3)}))
+        return 0
     from .corpus import pages_df
     from .pipeline import run_pipeline
     from .session import get_spark

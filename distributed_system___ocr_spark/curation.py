@@ -82,6 +82,86 @@ def load_curation_snapshot(out_dir: str) -> dict | None:
         return json.load(f)
 
 
+def _committed_run_history(out_dir: str, n: int) -> list[str]:
+    """Chronological committed-run order, reconstructed from the
+    snapshot log (snapshot-0..n): each snapshot's latest_run in file
+    order. The ``runs`` list alone cannot serve — it is kept SORTED,
+    which loses commit order for uuid run_ids."""
+    hist: list[str] = []
+    for i in range(n + 1):
+        with open(os.path.join(_ckpt(out_dir), f"snapshot-{i}.json")) as f:
+            s = json.load(f)
+        lr = s.get("latest_run", s["runs"][-1])
+        if lr not in hist:
+            hist.append(lr)
+    return hist
+
+
+def vacuum_curation(out_dir: str, keep_last: int = 1) -> dict:
+    """Retention maintenance for the curation snapshot layer (the
+    curation twin of the extraction pipeline's ``compact``, reference
+    O16 cleanup): physically remove all but the most recent
+    ``keep_last`` committed runs, plus any uncommitted debris dirs
+    left by crashed runs. Returns the new snapshot.
+
+    Guarantees:
+    - the snapshot log commits FIRST (atomic), data deletion second —
+      a crash mid-vacuum can orphan directories (cleaned by the next
+      vacuum) but can never leave a committed run whose data is gone;
+    - vacuumed run_ids stay in the replay guard (``vacuumed_runs``):
+      reusing one is still rejected, so lineage rows and export paths
+      stay unambiguous forever;
+    - the input fingerprint carries over, so an unchanged corpus
+      still no-op-resumes after a vacuum;
+    - single-writer, like the whole snapshot layer: do not vacuum
+      while a curation run is in flight (its staging dirs look like
+      debris).
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    snap = load_curation_snapshot(out_dir)
+    if not snap:
+        raise FileNotFoundError(f"no committed curation under {out_dir}")
+    hist = _committed_run_history(out_dir, snap["n"])
+    hist = [r for r in hist if r in set(snap["runs"])]
+    keep = hist[-keep_last:]
+    drop = sorted(set(snap["runs"]) - set(keep))
+
+    n = snap["n"] + 1
+    new_snap = {
+        "n": n,
+        "runs": sorted(keep),
+        "vacuumed_runs": sorted(
+            set(snap.get("vacuumed_runs", [])) | set(drop)
+        ),
+        "input_fingerprint": snap.get("input_fingerprint"),
+        "latest_run": snap.get("latest_run", hist[-1]),
+    }
+    name = f"snapshot-{n}.json"
+    _atomic_write(os.path.join(_ckpt(out_dir), name), json.dumps(new_snap))
+    _atomic_write(os.path.join(_ckpt(out_dir), "LATEST"), name)
+
+    # data deletion AFTER the commit; also sweep crashed-run debris
+    # (dirs never committed in any snapshot)
+    removed = []
+    for sub in ("curated", "lineage"):
+        root = os.path.join(out_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for entry in os.listdir(root):
+            if not entry.startswith("run_id="):
+                continue
+            rid = entry.split("=", 1)[1]
+            if rid not in keep:
+                shutil.rmtree(os.path.join(root, entry),
+                              ignore_errors=True)
+                removed.append(f"{sub}/{entry}")
+    new_snap["removed_paths"] = sorted(removed)
+    return new_snap
+
+
 # lazy: Column construction needs an active SparkContext (building it
 # at import time breaks Spark-less imports of the package)
 def _nonblank():
@@ -428,7 +508,12 @@ def run_curation(
     run_id = run_id or uuid.uuid4().hex[:12]
     prev = load_curation_snapshot(out_dir)
     committed = set(prev["runs"]) if prev else set()
-    if run_id in committed:
+    # vacuumed run_ids stay guarded: their data is gone but reusing
+    # the id would make old lineage/export paths ambiguous
+    replay_guard = committed | (
+        set(prev.get("vacuumed_runs", [])) if prev else set()
+    )
+    if run_id in replay_guard:
         raise ValueError(
             f"run_id {run_id!r} is already committed in {out_dir}; "
             "rerun with a fresh run_id"
@@ -608,6 +693,8 @@ def run_curation(
         "input_fingerprint": fp,
         "latest_run": run_id,
     }
+    if prev and prev.get("vacuumed_runs"):
+        snap["vacuumed_runs"] = prev["vacuumed_runs"]
     name = f"snapshot-{n}.json"
     _atomic_write(os.path.join(ck, name), json.dumps(snap))
     _atomic_write(os.path.join(ck, "LATEST"), name)  # atomic commit

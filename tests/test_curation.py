@@ -593,3 +593,79 @@ def test_chunk_n_chars_arithmetic_equals_length(spark):
         assert rows
         for r in rows:
             assert r["n_chars"] == len(r["chunk"]), (size, stride, r)
+
+
+def test_vacuum_curation_retention_and_guards(spark, tmp_path):
+    """Retention maintenance (round 5): drop old committed runs and
+    crashed-run debris, keep time travel for the survivors, keep the
+    replay guard for vacuumed ids, and keep the no-op-resume barrier
+    across a vacuum."""
+    import os
+
+    from distributed_system___ocr_spark.curation import vacuum_curation
+
+    out = str(tmp_path / "cur")
+    d1, d2, d3 = _docs(spark, n=8), _docs(spark, n=10), _docs(spark, n=12)
+    run_curation(spark, d1, out, run_id="c1")
+    run_curation(spark, d2, out, run_id="c2")
+    run_curation(spark, d3, out, run_id="c3")
+    # crashed-run debris: a data dir no snapshot ever committed
+    os.makedirs(os.path.join(out, "curated", "run_id=zombie", "survivors"))
+
+    with pytest.raises(ValueError, match=">= 1"):
+        vacuum_curation(out, keep_last=0)
+    snap = vacuum_curation(out, keep_last=2)
+    assert snap["runs"] == ["c2", "c3"]
+    assert snap["vacuumed_runs"] == ["c1"]
+    assert snap["latest_run"] == "c3"
+
+    # kept runs stay addressable; the vacuumed one refuses cleanly
+    assert read_curated(spark, out, run_id="c3").count() > 0
+    assert read_curated(spark, out, run_id="c2").count() > 0
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        read_curated(spark, out, run_id="c1")
+    assert not os.path.exists(os.path.join(out, "curated", "run_id=c1"))
+    assert not os.path.exists(os.path.join(out, "lineage", "run_id=c1"))
+    assert not os.path.exists(os.path.join(out, "curated", "run_id=zombie"))
+
+    # reusing a vacuumed run_id is still rejected (path ambiguity)
+    with pytest.raises(ValueError, match="already committed"):
+        run_curation(spark, d3, out, run_id="c1")
+
+    # the fingerprint barrier survives the vacuum: unchanged corpus
+    # no-ops, and the vacuumed_runs guard carries into new snapshots
+    info = run_curation(spark, d3, out, run_id="c4")
+    assert info.get("skipped_noop") is True
+    info2 = run_curation(spark, d1, out, run_id="c5")  # changed corpus
+    assert "skipped_noop" not in info2
+    with pytest.raises(ValueError, match="already committed"):
+        run_curation(spark, d1, out, run_id="c1")
+
+    # a second vacuum down to 1 keeps only the new latest
+    snap2 = vacuum_curation(out, keep_last=1)
+    assert snap2["runs"] == ["c5"]
+    assert set(snap2["vacuumed_runs"]) == {"c1", "c2", "c3"}
+    assert read_curated(spark, out).count() > 0
+
+
+def test_cli_vacuum_curation_mode(spark, tmp_path):
+    """The CLI maintenance mode runs without a Spark session and
+    prints the new snapshot."""
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "cur")
+    run_curation(spark, _docs(spark, n=6), out, run_id="c1")
+    run_curation(spark, _docs(spark, n=8), out, run_id="c2")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    res = subprocess.run(
+        [sys.executable, "-m", "distributed_system___ocr_spark.cli",
+         "--vacuum-curation", "1", "--output", out, "--run-id", "m1"],
+        capture_output=True, text=True, timeout=120, env=env, cwd="/tmp",
+    )
+    assert res.returncode == 0, res.stderr[-1500:]
+    info = json.loads(res.stdout.strip().splitlines()[-1])
+    assert info["vacuumed_snapshot"]["runs"] == ["c2"]
+    assert read_curated(spark, out).count() > 0
