@@ -64,8 +64,10 @@ _CKPT = "_checkpoint"
 # directory produced by the old algorithm (the fingerprint-completeness
 # rule; round-4 advice: the minhash token-hash swap was exactly such a
 # silent upgrade). v2: pack order became hash-bucket-major for the
-# two-phase prefix sum.
-CURATION_DATAFLOW_VERSION = 2
+# two-phase prefix sum. v3: monotone_hash_bucket became exact integer
+# shiftright (round-6 advice — boundary keys could float-round into
+# the adjacent bucket, shifting pack order).
+CURATION_DATAFLOW_VERSION = 3
 
 
 def _ckpt(out_dir: str) -> str:
@@ -86,15 +88,81 @@ def _committed_run_history(out_dir: str, n: int) -> list[str]:
     """Chronological committed-run order, reconstructed from the
     snapshot log (snapshot-0..n): each snapshot's latest_run in file
     order. The ``runs`` list alone cannot serve — it is kept SORTED,
-    which loses commit order for uuid run_ids."""
+    which loses commit order for uuid run_ids.
+
+    Missing or unreadable historical snapshot files are SKIPPED
+    (round-6 advice): one manually-deleted or partially-copied
+    snapshot-i.json must not block retention forever — commit order is
+    still recoverable from the surviving sequence, and the current
+    snapshot's ``runs`` set bounds what vacuum may keep anyway."""
     hist: list[str] = []
     for i in range(n + 1):
-        with open(os.path.join(_ckpt(out_dir), f"snapshot-{i}.json")) as f:
-            s = json.load(f)
-        lr = s.get("latest_run", s["runs"][-1])
+        try:
+            with open(
+                os.path.join(_ckpt(out_dir), f"snapshot-{i}.json")
+            ) as f:
+                s = json.load(f)
+            lr = s.get("latest_run", s["runs"][-1])
+        except (OSError, ValueError, KeyError, IndexError):
+            continue
         if lr not in hist:
             hist.append(lr)
     return hist
+
+
+_INFLIGHT_PREFIX = "INFLIGHT-"
+# an in-flight sentinel older than this is crash debris (run_curation
+# removes its sentinel on EVERY exit, including exceptions — only a
+# hard process kill leaves one), but a LIVE pid always wins over age
+_INFLIGHT_STALE_SEC = 6 * 3600
+
+
+def _inflight_path(out_dir: str, run_id: str) -> str:
+    return os.path.join(_ckpt(out_dir), f"{_INFLIGHT_PREFIX}{run_id}")
+
+
+def _live_inflight_runs(out_dir: str) -> list[str]:
+    """Sentinels of curation runs that look alive: pid still running,
+    or (pid unreadable/foreign) younger than the staleness bound.
+    Stale sentinels are swept so a hard-killed run cannot block
+    vacuuming forever."""
+    ck = _ckpt(out_dir)
+    if not os.path.isdir(ck):
+        return []
+    live = []
+    import time
+
+    for name in os.listdir(ck):
+        if not name.startswith(_INFLIGHT_PREFIX):
+            continue
+        path = os.path.join(ck, name)
+        try:
+            with open(path) as f:
+                pid = int(f.read().strip() or 0)
+        except (OSError, ValueError):
+            pid = 0
+        alive = False
+        if pid > 0:
+            try:
+                os.kill(pid, 0)
+                alive = True
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                alive = True  # exists, owned by someone else
+        try:
+            fresh = (time.time() - os.path.getmtime(path)
+                     ) < _INFLIGHT_STALE_SEC
+        except OSError:
+            fresh = False
+        if alive or (pid == 0 and fresh):
+            live.append(name[len(_INFLIGHT_PREFIX):])
+        elif not alive:
+            try:
+                os.remove(path)  # dead pid: crash debris, sweep it
+            except OSError:
+                pass
+    return live
 
 
 def vacuum_curation(out_dir: str, keep_last: int = 1) -> dict:
@@ -105,6 +173,14 @@ def vacuum_curation(out_dir: str, keep_last: int = 1) -> dict:
     left by crashed runs. Returns the new snapshot.
 
     Guarantees:
+    - a LIVE concurrent curation run fails the vacuum loudly (its
+      in-flight sentinel is checked) instead of silently losing the
+      run's staging data to the debris sweep (round-6 advice; stale
+      sentinels from hard-killed runs are swept, not honored);
+    - the to-remove path list is computed BEFORE the commit and is
+      part of the persisted snapshot, so the on-disk snapshot-N.json
+      and the returned/CLI-printed snapshot are identical (round-6
+      advice);
     - the snapshot log commits FIRST (atomic), data deletion second —
       a crash mid-vacuum can orphan directories (cleaned by the next
       vacuum) but can never leave a committed run whose data is gone;
@@ -112,10 +188,7 @@ def vacuum_curation(out_dir: str, keep_last: int = 1) -> dict:
       reusing one is still rejected, so lineage rows and export paths
       stay unambiguous forever;
     - the input fingerprint carries over, so an unchanged corpus
-      still no-op-resumes after a vacuum;
-    - single-writer, like the whole snapshot layer: do not vacuum
-      while a curation run is in flight (its staging dirs look like
-      debris).
+      still no-op-resumes after a vacuum.
     """
     import shutil
 
@@ -124,10 +197,34 @@ def vacuum_curation(out_dir: str, keep_last: int = 1) -> dict:
     snap = load_curation_snapshot(out_dir)
     if not snap:
         raise FileNotFoundError(f"no committed curation under {out_dir}")
+    live = _live_inflight_runs(out_dir)
+    if live:
+        raise RuntimeError(
+            f"curation run(s) {live} appear to be in flight under "
+            f"{out_dir}; vacuuming now would delete their staging "
+            "data — wait for them or remove the stale INFLIGHT-* "
+            "sentinel if you are sure"
+        )
     hist = _committed_run_history(out_dir, snap["n"])
     hist = [r for r in hist if r in set(snap["runs"])]
     keep = hist[-keep_last:]
     drop = sorted(set(snap["runs"]) - set(keep))
+
+    # enumerate removals BEFORE the commit so the persisted snapshot
+    # already carries removed_paths (no divergence between disk and
+    # the returned object); deletion itself still happens after
+    to_remove: list[str] = []
+    for sub in ("curated", "lineage"):
+        root = os.path.join(out_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for entry in os.listdir(root):
+            if not entry.startswith("run_id="):
+                continue
+            rid = entry.split("=", 1)[1]
+            if rid not in keep:
+                to_remove.append(f"{sub}/{entry}")
+    to_remove.sort()
 
     n = snap["n"] + 1
     new_snap = {
@@ -138,27 +235,15 @@ def vacuum_curation(out_dir: str, keep_last: int = 1) -> dict:
         ),
         "input_fingerprint": snap.get("input_fingerprint"),
         "latest_run": snap.get("latest_run", hist[-1]),
+        "removed_paths": to_remove,
     }
     name = f"snapshot-{n}.json"
     _atomic_write(os.path.join(_ckpt(out_dir), name), json.dumps(new_snap))
     _atomic_write(os.path.join(_ckpt(out_dir), "LATEST"), name)
 
-    # data deletion AFTER the commit; also sweep crashed-run debris
-    # (dirs never committed in any snapshot)
-    removed = []
-    for sub in ("curated", "lineage"):
-        root = os.path.join(out_dir, sub)
-        if not os.path.isdir(root):
-            continue
-        for entry in os.listdir(root):
-            if not entry.startswith("run_id="):
-                continue
-            rid = entry.split("=", 1)[1]
-            if rid not in keep:
-                shutil.rmtree(os.path.join(root, entry),
-                              ignore_errors=True)
-                removed.append(f"{sub}/{entry}")
-    new_snap["removed_paths"] = sorted(removed)
+    # data deletion AFTER the commit, exactly the committed list
+    for rel in to_remove:
+        shutil.rmtree(os.path.join(out_dir, rel), ignore_errors=True)
     return new_snap
 
 

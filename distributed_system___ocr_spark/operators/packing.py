@@ -45,13 +45,21 @@ N_PACK_BUCKETS = 512
 
 def monotone_hash_bucket(col: str | Column) -> Column:
     """A uniform, order-consistent bucket of a string key via its
-    xxhash64: floor(h / 2^55) maps the full signed-int64 range onto
-    [-256, 255] MONOTONically (floor division keeps signed order,
-    unlike a shift-and-mask), and xxhash64's output is uniform
-    regardless of the key distribution — so the buckets are balanced
-    for ANY corpus, with no stats pass. Use when the global pack order
-    is (bucket(key), key, ...) — i.e. the hash leads the order."""
-    return F.floor(F.xxhash64(col) / F.lit(2**55)).cast("int")
+    xxhash64: an arithmetic right shift by 55 maps the full signed
+    int64 range onto [-256, 255] MONOTONically (shiftright IS exact
+    signed floor division by 2^55 — unlike a shift-and-mask, it keeps
+    signed order), and xxhash64's output is uniform regardless of the
+    key distribution — so the buckets are balanced for ANY corpus,
+    with no stats pass. Use when the global pack order is
+    (bucket(key), key, ...) — i.e. the hash leads the order.
+
+    Round-6 advice fix: the previous floor(h / 2^55) ran in DOUBLE
+    division, and |h| can reach 2^63 >> 2^53, so boundary keys could
+    round into the adjacent bucket (and values near int64 max could
+    yield 256, outside the documented range). The shift is exact
+    integer arithmetic; the (rare) keys whose bucket changes shift the
+    pack order, which is why CURATION_DATAFLOW_VERSION covers it."""
+    return F.shiftright(F.xxhash64(col), 55).cast("int")
 
 
 def greedy_pack_bins(

