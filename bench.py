@@ -204,12 +204,16 @@ def bench_dedup_scale(spark, tmp: str) -> list[dict]:
 
 
 def bench_curation(spark, tmp: str) -> dict:
-    """Composed curation end-to-end (gate + span removal + dedup +
-    LSH prune + decontamination + temperature sampling + chunk +
-    two-phase pack) over the 200k-page corpus's extraction output —
-    the per-round tracked number for the curation surface. Corpus
-    prep (extract + write) is untimed; the timed region is ONE
-    run_curation call, fingerprint to snapshot commit."""
+    """Composed curation end-to-end over the 200k-page corpus's
+    extraction output — the per-round tracked number for the curation
+    surface. Round 6 composes EVERY opt-in stage: gate + domain cap +
+    span removal + exact dedup + LSH prune + SemDeDup + decontamination
+    + LM-quality tail drop + temperature sampling + split stamp +
+    chunk + two-phase split-pure pack (the round-5 number covered the
+    round-5 stage set only — see BENCH/BASELINE.md for the
+    discontinuity note). Corpus prep (extract + write) is untimed; the
+    timed region is ONE run_curation call, fingerprint to snapshot
+    commit."""
     import pandas as pd
 
     from distributed_system___ocr_spark.corpus import pages_df
@@ -237,9 +241,13 @@ def bench_curation(spark, tmp: str) -> dict:
         os.path.join(tmp, "cur_out"),
         run_id="bench",
         quality_min_chars=30,
+        domain_cap=50_000,  # fires on the hot Zipf host only
         remove_spans_min_docs=5000,
+        semdedup_tau=0.92,
         decon_eval=eval_docs,
+        lm_quality_drop_z=2.0,
         sample_alpha=0.7,
+        split_fracs=(0.9, 0.05),
     )
     sec = time.monotonic() - t0
     return {

@@ -81,11 +81,38 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quality-max-chars", type=int, default=None)
     p.add_argument("--quality-dup-bigram-max", type=float, default=None)
     p.add_argument(
+        "--domain-cap", type=int, default=None,
+        help="switch on the per-url-host quota: keep at most this "
+        "many docs per host (longest-texts-win), after the gate",
+    )
+    p.add_argument(
         "--remove-spans-min-docs", type=int, default=None,
         help="switch on cross-doc boilerplate span removal: strip "
         "token n-grams appearing in >= this many docs (before dedup)",
     )
     p.add_argument("--span-ngram", type=int, default=5)
+    p.add_argument(
+        "--semdedup-tau", type=float, default=None,
+        help="switch on SemDeDup semantic near-dup pruning at this "
+        "cosine threshold (k~sqrt(N) trained cells, min-url "
+        "representative)",
+    )
+    p.add_argument(
+        "--semdedup-embeddings", metavar="PARQUET", default=None,
+        help="model embeddings (url, v array<double>) for --semdedup-"
+        "tau instead of the built-in feature-hash featurization",
+    )
+    p.add_argument(
+        "--lm-quality-drop-z", type=float, default=None,
+        help="switch on the CCNet-style LM-quality tail drop: drop "
+        "docs scoring below mu_lang - z*sigma_lang (unigram logprob)",
+    )
+    p.add_argument(
+        "--split", metavar="TRAIN,VAL", default=None,
+        help="stamp the deterministic train/val/test split with these "
+        "fractions (e.g. 0.8,0.1; test takes the rest); packed bins "
+        "become split-pure",
+    )
     p.add_argument(
         "--decon-eval", metavar="PARQUET", default=None,
         help="switch on decontamination: drop survivors sharing any "
@@ -137,6 +164,13 @@ def main(argv: list[str] | None = None) -> int:
             "--quality-max-chars / --quality-dup-bigram-max have no "
             "effect without --quality-min-chars (the gate switch)"
         )
+    if args.semdedup_embeddings is not None and args.semdedup_tau is None:
+        # same rule as the quality flags: a provider without the stage
+        # switch would silently run an un-semdeduped corpus
+        parser.error(
+            "--semdedup-embeddings has no effect without "
+            "--semdedup-tau (the stage switch)"
+        )
     if args.vacuum_curation is not None:
         # pure snapshot-layer maintenance: no Spark session needed
         from .curation import vacuum_curation
@@ -167,6 +201,15 @@ def main(argv: list[str] | None = None) -> int:
         from .curation import run_curation
         from .pipeline import read_extracted
 
+        split_fracs = None
+        if args.split is not None:
+            try:
+                tr, va = (float(x) for x in args.split.split(","))
+            except ValueError:
+                raise SystemExit(
+                    "--split expects TRAIN,VAL fractions, e.g. 0.8,0.1"
+                )
+            split_fracs = (tr, va)
         info = run_curation(
             spark,
             read_extracted(spark, args.input),
@@ -181,14 +224,22 @@ def main(argv: list[str] | None = None) -> int:
                 0.05 if args.quality_dup_bigram_max is None
                 else args.quality_dup_bigram_max
             ),
+            domain_cap=args.domain_cap,
             remove_spans_min_docs=args.remove_spans_min_docs,
             span_ngram=args.span_ngram,
+            semdedup_tau=args.semdedup_tau,
+            semdedup_embeddings=(
+                spark.read.parquet(args.semdedup_embeddings)
+                if args.semdedup_embeddings else None
+            ),
             decon_eval=(
                 spark.read.parquet(args.decon_eval)
                 if args.decon_eval else None
             ),
             decon_ngram=args.decon_ngram,
+            lm_quality_drop_z=args.lm_quality_drop_z,
             sample_alpha=args.sample_alpha,
+            split_fracs=split_fracs,
         )
         if args.export_jsonl:
             from .curation import export_packed_jsonl

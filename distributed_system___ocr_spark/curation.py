@@ -3,15 +3,19 @@ extraction.
 
     docs(url, text, lang)
       --[opt-in quality gate: length bounds + repetition cut]-->
+      --[opt-in per-url-host domain cap (C4-style quota)]-->
       --[opt-in cross-doc boilerplate span removal]-->
       --exact dedup (content-hash window, min-url representative)-->
       --near-dup prune (MinHash/LSH pairs -> connected components ->
         min-url representative per cluster)-->
+      --[opt-in SemDeDup semantic prune (k~sqrt(N) cells + cosine)]-->
       --[opt-in n-gram decontamination vs an eval corpus]-->
+      --[opt-in CCNet-style LM-quality tail drop]-->
       --[opt-in temperature-based language rebalancing]-->
+      --[opt-in deterministic train/val/test split stamp]-->
       --chunk (fixed-size char windows, overlap)-->
       --greedy sequence packing (two-phase exact prefix sum over
-        per-lang hash buckets)-->
+        per-(lang[, split]) hash buckets; split-pure bins)-->
     out_dir/curated/run_id=<rid>/{survivors,packed}/  + lineage + snapshot
 
 Round-3 verdict item 4: these operators existed only as standalone
@@ -55,6 +59,7 @@ from .operators.components import connected_components
 from .operators.neardup import minhash_lsh_pairs_scale
 from .operators.packing import greedy_pack_bins, monotone_hash_bucket
 from .operators.resume import _atomic_write
+from .operators.semdedup import SEMDEDUP_EMBED_VERSION
 
 _CKPT = "_checkpoint"
 
@@ -454,6 +459,122 @@ def temperature_sample(docs: DataFrame, alpha: float) -> DataFrame:
     )
 
 
+def domain_cap_docs(docs: DataFrame, cap: int) -> DataFrame:
+    """Per-domain document quota (C4/RefinedWeb anti-spam rule): keep
+    at most ``cap`` docs per url host, preferring the longest texts
+    with a url tie-break — the curation-pipeline twin of the
+    oracle-gated ``domain_cap_survivors`` registry query, keyed on the
+    url's parsed host instead of the documents table's source column.
+    Scale shape: the rank<=K predicate over a per-host window becomes
+    WindowGroupLimit — a per-partition top-K heap BEFORE the shuffle,
+    so a hot domain ships K rows per map task, not millions (plan
+    pinned in tests/test_curation.py)."""
+    host = F.coalesce(
+        F.expr("parse_url(url, 'HOST')"), F.lit("")
+    )
+    w = Window.partitionBy("_host").orderBy(
+        F.length("text").desc(), "url"
+    )
+    return (
+        docs.withColumn("_host", host)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn", "_host")
+    )
+
+
+def lm_quality_survivors(docs: DataFrame, drop_z: float) -> DataFrame:
+    """CCNet-style LM-quality tail drop: score each doc by its average
+    unigram log-probability under the corpus's own model, then drop
+    docs scoring below mu_lang - drop_z * sigma_lang — keep the head
+    and middle of each language's quality distribution. The pipeline
+    twin of the oracle-gated ``lm_quality_zbuckets`` registry query
+    (plans/curationops.py), url-keyed, with the same scale shape: ONE
+    token explode staged as (url, term, cnt), a vocabulary-sized model
+    aggregate, a languages-sized stats broadcast, and a scan-stage
+    filter — never a per-lang single-task sort (the ntile shape).
+    Docs with zero whitespace tokens cannot be scored and drop here
+    (they cannot train either)."""
+    toks_expr = "filter(split(text, ' '), x -> x <> '')"
+    dtf = (
+        docs.select("url", F.explode(F.expr(toks_expr)).alias("term"))
+        .groupBy("url", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tf = dtf.groupBy("term").agg(F.sum("cnt").alias("ctf"))
+    tot = docs.agg(
+        F.sum(F.size(F.expr(toks_expr))).alias("n_total")
+    )  # no-explode scan-sum == counting exploded instances
+    lp = tf.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(F.log(F.col("ctf") / F.col("n_total")), 9)
+        .cast("decimal(20,9)").alias("logp"),
+    )
+    score = (
+        dtf.join(lp, "term")
+        .groupBy("url")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("cnt").cast("decimal(10,0)") * F.col("logp")
+                ).cast("double") / F.sum("cnt"), 6
+            ).alias("_s")
+        )
+    )
+    sl = docs.select("url", "lang").join(score, "url")
+    stats = sl.groupBy("lang").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.round(F.col("_s"), 6).cast("decimal(20,6)"))
+        .cast("double").alias("_sum_s"),
+        F.sum(F.round(F.col("_s") * F.col("_s"), 9).cast("decimal(25,9)"))
+        .cast("double").alias("_sum_s2"),
+    )
+    b = stats.select(
+        "lang",
+        (F.col("_sum_s") / F.col("_n")).alias("_mu"),
+        F.sqrt(
+            F.greatest(
+                (F.col("_sum_s2")
+                 - F.col("_sum_s") * F.col("_sum_s") / F.col("_n"))
+                / F.col("_n"),
+                F.lit(0.0),
+            )
+        ).alias("_sigma"),
+    )
+    keep = (
+        sl.join(F.broadcast(b), "lang")
+        .filter(
+            F.col("_s") >= F.col("_mu") - drop_z * F.col("_sigma")
+        )
+        .select("url")
+    )
+    return docs.join(keep, "url", "left_semi")
+
+
+def stamp_split(
+    docs: DataFrame, train_frac: float, val_frac: float
+) -> DataFrame:
+    """Append the deterministic train/val/test ``split`` column — the
+    pipeline twin of the oracle-gated ``train_val_test_split`` registry
+    query, keyed on url: a stateless scan-stage md5 bucket, so a
+    document's split never changes when the corpus grows or the job
+    resumes (the property that keeps eval sets uncontaminated across
+    corpus refreshes)."""
+    t1 = int(round(train_frac * 1_000_000))
+    t2 = t1 + int(round(val_frac * 1_000_000))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("url").cast("binary")), 1, 8), 16, 10
+        ).cast("long") % 1_000_000
+    )
+    return docs.withColumn(
+        "split",
+        F.when(bucket < t1, "train")
+        .when(bucket < t2, "val")
+        .otherwise("test"),
+    )
+
+
 def exact_dedup_survivors(docs: DataFrame) -> DataFrame:
     """Keep one doc per exact text: min url wins (deterministic
     representative). One hash-partitioned window, no pairwise work."""
@@ -482,12 +603,35 @@ def neardup_survivors(docs: DataFrame) -> DataFrame:
     return docs.join(keep, "url", "left_semi")
 
 
+def semdedup_prune(
+    docs: DataFrame,
+    tau: float,
+    embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup semantic near-dup pruning stage: embed (versioned
+    feature-hash default, or an external ``embeddings(url, v)``
+    frame), quantize with a corpus-sized trained k-means, pair within
+    cells at cosine >= tau, keep the min-url representative per
+    connected cluster — the drop-survivors form of the rows-only
+    ``semdedup_pairs`` registry query (operators/semdedup.py holds
+    the shared scale-hardened kernel)."""
+    from .operators.semdedup import semdedup_survivors
+
+    return semdedup_survivors(
+        docs, tau, embeddings=embeddings, id_col="url", text_col="text"
+    )
+
+
 def chunk_docs(
-    docs: DataFrame, chunk_size: int, chunk_stride: int
+    docs: DataFrame,
+    chunk_size: int,
+    chunk_stride: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Fixed-size character chunks with overlap (same operator family
     as the oracle-gated chunk_documents; bounded per-row explode, runs
-    in the scan stage)."""
+    in the scan stage). ``extra_cols`` carry per-doc metadata (e.g.
+    the train/val/test split) onto every chunk."""
     idx = F.explode(
         F.sequence(
             F.lit(0),
@@ -497,7 +641,7 @@ def chunk_docs(
         )
     )
     c = docs.filter(F.length("text") > 0).select(
-        "url", "lang", "text", idx.alias("chunk_idx")
+        "url", "lang", *extra_cols, "text", idx.alias("chunk_idx")
     )
     chunk = F.expr(
         f"substring(text, chunk_idx * {int(chunk_stride)} + 1, "
@@ -515,13 +659,18 @@ def chunk_docs(
     return c.select(
         "url",
         "lang",
+        *extra_cols,
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         chunk.alias("chunk"),
         n_chars.cast("long").alias("n_chars"),
     )
 
 
-def pack_chunks_greedy(chunks: DataFrame, pack_target: int) -> DataFrame:
+def pack_chunks_greedy(
+    chunks: DataFrame,
+    pack_target: int,
+    part_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
     """Assign chunks to fixed-budget training bins by cumulative length
     in a DETERMINISTIC order per language — the order-by-key form is
     what makes packing reproducible across reruns/resumes.
@@ -535,10 +684,15 @@ def pack_chunks_greedy(chunks: DataFrame, pack_target: int) -> DataFrame:
     on url only), and the hash-major order additionally decorrelates
     same-domain pages across bins — a mixing win for training data.
     Order change vs v1 (url-lexicographic) is covered by
-    CURATION_DATAFLOW_VERSION."""
+    CURATION_DATAFLOW_VERSION.
+
+    ``part_cols`` extends the bin-partition key — e.g. ("lang",
+    "split") keeps every training bin split-pure when the split stage
+    is enabled; bin_ids stay contiguous per key tuple."""
     bucketed = chunks.withColumn("_bkt", monotone_hash_bucket("url"))
     return greedy_pack_bins(
-        bucketed, pack_target, "_bkt", ["url", "chunk_idx"]
+        bucketed, pack_target, "_bkt", ["url", "chunk_idx"],
+        part_col=list(part_cols),
     ).drop("_bkt")
 
 
@@ -552,6 +706,22 @@ def _eval_fingerprint(eval_docs: DataFrame) -> dict:
     return {"n_docs": row["n"], "content_sum": str(row["h"])}
 
 
+def _embeddings_fingerprint(emb: DataFrame) -> dict:
+    """Order-independent content identity of an external SemDeDup
+    embeddings frame (url, v): a changed embedding model changes which
+    docs are semantic near-dups, so it must re-curate. The vector
+    hashes through its canonical string form (stable Spark double
+    formatting) — xxhash64 over array columns is version-sensitive."""
+    row = emb.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.xxhash64(F.col("url"), F.col("v").cast("string"))
+            .cast("decimal(38,0)")
+        ).alias("h"),
+    ).collect()[0]
+    return {"n_vecs": row["n"], "content_sum": str(row["h"])}
+
+
 def run_curation(
     spark: SparkSession,
     docs: DataFrame,
@@ -563,11 +733,16 @@ def run_curation(
     quality_min_chars: int | None = None,
     quality_max_chars: int | None = None,
     quality_dup_bigram_max: float = 0.05,
+    domain_cap: int | None = None,
     remove_spans_min_docs: int | None = None,
     span_ngram: int = 5,
+    semdedup_tau: float | None = None,
+    semdedup_embeddings: DataFrame | None = None,
     decon_eval: DataFrame | None = None,
     decon_ngram: int = 5,
+    lm_quality_drop_z: float | None = None,
     sample_alpha: float | None = None,
+    split_fracs: tuple[float, float] | None = None,
 ) -> dict:
     """Run (or no-op-resume) the curation job; returns summary counts
     and paths. ``docs`` must have (url, text, lang) — typically
@@ -575,21 +750,36 @@ def run_curation(
 
     Opt-in stages (each fingerprinted, so toggling or reconfiguring
     any of them re-curates rather than falsely no-op-resuming —
-    round-3/4 lesson, now covering the round-4 additions too):
+    round-3/4/5 lesson, now covering the round-5 additions too):
 
     - ``quality_min_chars``: length bounds + Gopher repetition cut
       ahead of dedup;
+    - ``domain_cap``: C4-style per-url-host quota right after the
+      gate (longest-texts-win, url tie-break);
     - ``remove_spans_min_docs``: cross-doc boilerplate span removal
       (rewrites text BEFORE dedup, so de-boilerplated twins collapse;
       docs emptied by the removal drop here);
-    - ``decon_eval``: n-gram decontamination of the near-dup survivors
+    - ``semdedup_tau``: SemDeDup semantic near-dup pruning of the
+      syntactic (MinHash) survivors — k ~ sqrt(N) trained quantizer +
+      within-cell cosine pairs + min-url representative
+      (operators/semdedup.py); embeds via the versioned feature-hash
+      featurization unless ``semdedup_embeddings`` (url, v) supplies
+      model vectors, whose CONTENT then enters the fingerprint;
+    - ``decon_eval``: n-gram decontamination of the dedup survivors
       against an eval corpus (its CONTENT enters the fingerprint — a
       new eval suite must re-curate);
+    - ``lm_quality_drop_z``: CCNet-style LM-quality tail drop (keep
+      docs scoring >= mu_lang - z * sigma_lang);
     - ``sample_alpha``: temperature-based language rebalancing as the
-      final doc-level selection before chunking.
+      final doc-level selection before chunking;
+    - ``split_fracs`` (train, val): stamp the deterministic
+      growth-stable train/val/test ``split`` on survivors, chunks and
+      packed bins — bins are split-pure (pack partitions by
+      (lang, split)).
 
-    Full order: gate -> span removal -> exact dedup -> near-dup prune
-    -> decontaminate -> temperature sample -> chunk -> pack."""
+    Full order: gate -> domain cap -> span removal -> exact dedup ->
+    near-dup prune -> semdedup -> decontaminate -> lm quality ->
+    temperature sample -> split stamp -> chunk -> pack."""
     run_id = run_id or uuid.uuid4().hex[:12]
     prev = load_curation_snapshot(out_dir)
     committed = set(prev["runs"]) if prev else set()
@@ -612,6 +802,24 @@ def run_curation(
             "chunk_stride > chunk_size would leave uncovered gaps "
             "between chunks"
         )
+    if domain_cap is not None and domain_cap < 1:
+        raise ValueError("domain_cap must be >= 1")
+    if semdedup_tau is not None and not (0.0 < semdedup_tau <= 1.0):
+        raise ValueError("semdedup_tau must be in (0, 1]")
+    if semdedup_embeddings is not None and semdedup_tau is None:
+        raise ValueError(
+            "semdedup_embeddings has no effect without semdedup_tau "
+            "(the stage switch)"
+        )
+    if lm_quality_drop_z is not None and lm_quality_drop_z < 0:
+        raise ValueError("lm_quality_drop_z must be >= 0")
+    if split_fracs is not None:
+        tr, va = split_fracs
+        if not (tr > 0 and va > 0 and tr + va < 1):
+            raise ValueError(
+                "split_fracs must be (train, val) with train > 0, "
+                "val > 0 and train + val < 1 (test takes the rest)"
+            )
     # blank rows can't train and would all collide on one content
     # hash; drop them up front, counted in the lineage 'input' stage
     # (raw -> non-blank), mirroring the extraction pipeline's O2
@@ -634,14 +842,31 @@ def run_curation(
         fp["quality_gate"] = [
             quality_min_chars, quality_max_chars, quality_dup_bigram_max,
         ]
+    if domain_cap is not None:
+        fp["domain_cap"] = domain_cap
     if remove_spans_min_docs is not None:
         fp["span_removal"] = [remove_spans_min_docs, span_ngram]
+    if semdedup_tau is not None:
+        # the embedding provider is part of the dataflow identity: the
+        # versioned built-in featurization, or the CONTENT of an
+        # externally supplied embeddings frame (a new embedding model
+        # changes which docs are semantic near-dups)
+        provider = (
+            ["feature_hash", SEMDEDUP_EMBED_VERSION]
+            if semdedup_embeddings is None
+            else ["external", _embeddings_fingerprint(semdedup_embeddings)]
+        )
+        fp["semdedup"] = [semdedup_tau, provider]
     if decon_eval is not None:
         # the EVAL corpus's content is an input: a changed eval suite
         # changes which docs survive, so it must re-curate
         fp["decon"] = [decon_ngram, _eval_fingerprint(decon_eval)]
+    if lm_quality_drop_z is not None:
+        fp["lm_quality"] = lm_quality_drop_z
     if sample_alpha is not None:
         fp["sample_alpha"] = sample_alpha
+    if split_fracs is not None:
+        fp["split"] = [split_fracs[0], split_fracs[1]]
     if prev and prev.get("input_fingerprint") == fp:
         # completion barrier: same corpus already curated — rerunning
         # the whole dataflow would reproduce byte-identical output
@@ -659,7 +884,60 @@ def run_curation(
     lineage_path = os.path.join(out_dir, "lineage", f"run_id={run_id}")
 
     n_input = fp["n_docs"]
-    n_decon = None
+    # the composed doc-level dataflow, in fixed order; fn=None means
+    # the opt-in stage is disabled and passes its input through (its
+    # lineage row records n_in == n_out)
+    stage_defs: list[tuple[str, object]] = [
+        (
+            "quality_gate",
+            (lambda df: quality_gate(
+                df,
+                min_chars=quality_min_chars,
+                max_chars=quality_max_chars,
+                dup_bigram_max=quality_dup_bigram_max,
+            )) if quality_min_chars is not None else None,
+        ),
+        (
+            "domain_cap",
+            (lambda df: domain_cap_docs(df, domain_cap))
+            if domain_cap is not None else None,
+        ),
+        (
+            "span_removal",
+            # rewrites text BEFORE dedup (de-boilerplated twins
+            # collapse); docs emptied by the removal drop here — they
+            # cannot train and would all collide on one content hash
+            (lambda df: remove_boilerplate_spans(
+                df, min_docs=remove_spans_min_docs, n=span_ngram
+            ).filter(_nonblank()))
+            if remove_spans_min_docs is not None else None,
+        ),
+        ("exact_dedup", exact_dedup_survivors),
+        ("neardup_prune", neardup_survivors),
+        (
+            "semdedup",
+            (lambda df: semdedup_prune(
+                df, semdedup_tau, embeddings=semdedup_embeddings
+            )) if semdedup_tau is not None else None,
+        ),
+        (
+            "decontaminate",
+            (lambda df: decontaminate_against(
+                df, decon_eval, n=decon_ngram
+            )) if decon_eval is not None else None,
+        ),
+        (
+            "lm_quality",
+            (lambda df: lm_quality_survivors(df, lm_quality_drop_z))
+            if lm_quality_drop_z is not None else None,
+        ),
+        (
+            "temperature_sample",
+            (lambda df: temperature_sample(df, sample_alpha))
+            if sample_alpha is not None else None,
+        ),
+    ]
+
     # every persisted frame unpersists on ANY exit (round-4 advice:
     # an exception between persist and the early unpersist leaked the
     # cached frame for the life of the session); early unpersists
@@ -677,123 +955,116 @@ def run_curation(
             prev.unpersist()
         return df, n
 
-    try:
-        prev_cached = None
-        if quality_min_chars is not None:
-            # persist: the gate's higher-order bigram expressions are
-            # the most expensive scan in the job — without this, the
-            # count here AND the dedup chain below each pay them in full
-            docs, n_gated = _materialize(
-                quality_gate(
-                    docs,
-                    min_chars=quality_min_chars,
-                    max_chars=quality_max_chars,
-                    dup_bigram_max=quality_dup_bigram_max,
-                ),
-                prev_cached,
-            )
-            prev_cached = docs
-        else:
-            n_gated = n_input
-        if remove_spans_min_docs is not None:
-            # rewrites text BEFORE dedup (de-boilerplated twins
-            # collapse); docs emptied by the removal drop here — they
-            # cannot train and would all collide on one content hash
-            docs, n_spanned = _materialize(
-                remove_boilerplate_spans(
-                    docs, min_docs=remove_spans_min_docs, n=span_ngram
-                ).filter(_nonblank()),
-                prev_cached,
-            )
-            prev_cached = docs
-        else:
-            n_spanned = n_gated
-        exact, n_exact = _materialize(
-            exact_dedup_survivors(docs), prev_cached
-        )
-        nd = neardup_survivors(exact)
-        post = decon_eval is not None or sample_alpha is not None
-        if post:
-            # the post-dedup doc-level stages re-read the survivors
-            # (decon gram join, sampling counts) — persist so the LSH
-            # chain runs once, and count for the lineage row
-            nd, n_nd = _materialize(nd, exact)
-            cur = nd
-            if decon_eval is not None:
-                cur = decontaminate_against(cur, decon_eval, n=decon_ngram)
-                if sample_alpha is not None:
-                    cur, n_decon = _materialize(cur, nd)
-            if sample_alpha is not None:
-                cur = temperature_sample(cur, sample_alpha)
-            cur.write.mode("overwrite").parquet(survivors_path)
-        else:
-            nd.write.mode("overwrite").parquet(survivors_path)
-    finally:
-        for p in persisted:
-            p.unpersist()
-
-    survivors = spark.read.parquet(survivors_path)
-    n_survivors = survivors.count()
-    if not post:
-        n_nd = n_survivors
-    if decon_eval is None:
-        n_decon = n_nd
-    elif sample_alpha is None:
-        n_decon = n_survivors
-    packed = pack_chunks_greedy(
-        chunk_docs(survivors, chunk_size, chunk_stride), pack_target
-    )
-    packed.write.mode("overwrite").parquet(packed_path)
-    packed_back = spark.read.parquet(packed_path)
-    n_chunks = packed_back.count()
-    n_bins = packed_back.select("lang", "bin_id").distinct().count()
-
-    stages = [
-        ("input", n_raw, n_input),  # raw -> non-blank (O2 filter)
-        ("quality_gate", n_input, n_gated),
-        ("span_removal", n_gated, n_spanned),
-        ("exact_dedup", n_spanned, n_exact),
-        ("neardup_prune", n_exact, n_nd),
-        ("decontaminate", n_nd, n_decon),
-        ("temperature_sample", n_decon, n_survivors),
-        ("chunk", n_survivors, n_chunks),
-        ("pack", n_chunks, n_bins),
-    ]
-    lineage = spark.createDataFrame(
-        [
-            (run_id, i, stage, n_in, n_out, n_in - n_out)
-            for i, (stage, n_in, n_out) in enumerate(stages)
-        ],
-        "run_id string, stage_idx int, stage string, n_in long, "
-        "n_out long, n_dropped long",
-    )
-    lineage.write.mode("overwrite").parquet(lineage_path)
-
+    # in-flight sentinel (round-6 advice): makes a concurrent vacuum
+    # fail loudly instead of sweeping this run's staging dirs as
+    # debris; removed on EVERY exit, so only a hard process kill
+    # leaves one (and those go stale — see _live_inflight_runs)
     ck = _ckpt(out_dir)
     os.makedirs(ck, exist_ok=True)
-    n = (prev["n"] + 1) if prev else 0
-    snap = {
-        "n": n,
-        "runs": sorted(committed | {run_id}),
-        "input_fingerprint": fp,
-        "latest_run": run_id,
-    }
-    if prev and prev.get("vacuumed_runs"):
-        snap["vacuumed_runs"] = prev["vacuumed_runs"]
-    name = f"snapshot-{n}.json"
-    _atomic_write(os.path.join(ck, name), json.dumps(snap))
-    _atomic_write(os.path.join(ck, "LATEST"), name)  # atomic commit
+    sentinel = _inflight_path(out_dir, run_id)
+    with open(sentinel, "w") as f:
+        f.write(str(os.getpid()))
+    try:
+        measured: dict[str, int] = {}
+        enabled = [(nm, fn) for nm, fn in stage_defs if fn is not None]
+        last_enabled = enabled[-1][0]
+        try:
+            cur, prev_cached = docs, None
+            for nm, fn in enabled:
+                cur = fn(cur)
+                if nm != last_enabled:
+                    # persist + count intermediates: each enabled
+                    # stage's output feeds both its lineage row and
+                    # the successor's (often multi-pass) dataflow
+                    cur, measured[nm] = _materialize(cur, prev_cached)
+                    prev_cached = cur
+            if split_fracs is not None:
+                # count-preserving: stamps the deterministic split on
+                # the final survivor set just before the write
+                cur = stamp_split(cur, split_fracs[0], split_fracs[1])
+            cur.write.mode("overwrite").parquet(survivors_path)
+        finally:
+            for p in persisted:
+                p.unpersist()
+
+        survivors = spark.read.parquet(survivors_path)
+        n_survivors = survivors.count()
+        measured[last_enabled] = n_survivors
+
+        # per-stage lineage counts: disabled stages pass through
+        stage_out: dict[str, int] = {}
+        n_prev = n_input
+        for nm, _fn in stage_defs:
+            stage_out[nm] = measured.get(nm, n_prev)
+            n_prev = stage_out[nm]
+
+        split_extra = ("split",) if split_fracs is not None else ()
+        packed = pack_chunks_greedy(
+            chunk_docs(
+                survivors, chunk_size, chunk_stride,
+                extra_cols=split_extra,
+            ),
+            pack_target,
+            part_cols=("lang", *split_extra),
+        )
+        packed.write.mode("overwrite").parquet(packed_path)
+        packed_back = spark.read.parquet(packed_path)
+        n_chunks = packed_back.count()
+        n_bins = packed_back.select(
+            "lang", *split_extra, "bin_id"
+        ).distinct().count()
+
+        stages = [("input", n_raw, n_input)]  # raw -> non-blank (O2)
+        n_prev = n_input
+        for nm, _fn in stage_defs:
+            stages.append((nm, n_prev, stage_out[nm]))
+            n_prev = stage_out[nm]
+        stages += [
+            ("split_stamp", n_survivors, n_survivors),
+            ("chunk", n_survivors, n_chunks),
+            ("pack", n_chunks, n_bins),
+        ]
+        lineage = spark.createDataFrame(
+            [
+                (run_id, i, stage, n_in, n_out, n_in - n_out)
+                for i, (stage, n_in, n_out) in enumerate(stages)
+            ],
+            "run_id string, stage_idx int, stage string, n_in long, "
+            "n_out long, n_dropped long",
+        )
+        lineage.write.mode("overwrite").parquet(lineage_path)
+
+        n = (prev["n"] + 1) if prev else 0
+        snap = {
+            "n": n,
+            "runs": sorted(committed | {run_id}),
+            "input_fingerprint": fp,
+            "latest_run": run_id,
+        }
+        if prev and prev.get("vacuumed_runs"):
+            snap["vacuumed_runs"] = prev["vacuumed_runs"]
+        name = f"snapshot-{n}.json"
+        _atomic_write(os.path.join(ck, name), json.dumps(snap))
+        _atomic_write(os.path.join(ck, "LATEST"), name)  # atomic commit
+    finally:
+        try:
+            os.remove(sentinel)
+        except OSError:
+            pass
 
     return {
         "run_id": run_id,
         "snapshot": snap,
         "n_raw_input": n_raw,
         "n_input": n_input,
-        "n_after_quality_gate": n_gated,
-        "n_after_span_removal": n_spanned,
-        "n_after_exact_dedup": n_exact,
-        "n_after_neardup": n_nd,
-        "n_after_decon": n_decon,
+        "n_after_quality_gate": stage_out["quality_gate"],
+        "n_after_domain_cap": stage_out["domain_cap"],
+        "n_after_span_removal": stage_out["span_removal"],
+        "n_after_exact_dedup": stage_out["exact_dedup"],
+        "n_after_neardup": stage_out["neardup_prune"],
+        "n_after_semdedup": stage_out["semdedup"],
+        "n_after_decon": stage_out["decontaminate"],
+        "n_after_lm_quality": stage_out["lm_quality"],
         "n_survivors": n_survivors,
         "n_chunks": n_chunks,
         "n_bins": n_bins,

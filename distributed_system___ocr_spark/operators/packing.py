@@ -67,45 +67,48 @@ def greedy_pack_bins(
     target: int,
     bucket_col: str,
     order_cols: list[str],
-    part_col: str = "lang",
+    part_col: str | list[str] = "lang",
     size_col: str = "n_chars",
 ) -> DataFrame:
     """Append ``bin_id`` = floor(global_preceding / target) where
     global_preceding is the exact prefix sum of ``size_col`` under the
     total order (``part_col``; ``bucket_col``; ``order_cols``).
+    ``part_col`` may be a list — bins are then pure per key tuple
+    (e.g. (lang, split): a training bin never mixes splits).
 
     REQUIRES: ``bucket_col`` is monotone in the global order (all rows
     of a lower bucket precede all rows of a higher bucket), and
     (``bucket_col``, ``order_cols``) is a total order within
     ``part_col`` (no ties), else the prefix sum is ill-defined.
     """
+    parts = [part_col] if isinstance(part_col, str) else list(part_col)
     w_local = (
-        Window.partitionBy(part_col, bucket_col)
+        Window.partitionBy(*parts, bucket_col)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local_preceding = F.sum(size_col).over(w_local) - F.col(size_col)
 
-    # bounded aggregate: grouping keys are (lang, bucket) — at most
-    # langs x N_PACK_BUCKETS rows at any corpus size, so the static
-    # broadcast is safe (the tree-walk audit's "reducing Aggregate"
-    # rule); the groupBy reads only (part, bucket, size) off the scan
-    totals = df.groupBy(part_col, bucket_col).agg(
+    # bounded aggregate: grouping keys are (parts, bucket) — at most
+    # |part tuples| x N_PACK_BUCKETS rows at any corpus size, so the
+    # static broadcast is safe (the tree-walk audit's "reducing
+    # Aggregate" rule); the groupBy reads only (parts, bucket, size)
+    totals = df.groupBy(*parts, bucket_col).agg(
         F.sum(size_col).alias("_bucket_total")
     )
     w_off = (
-        Window.partitionBy(part_col)
+        Window.partitionBy(*parts)
         .orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        part_col,
+        *parts,
         bucket_col,
         F.coalesce(F.sum("_bucket_total").over(w_off), F.lit(0)).alias(
             "_bucket_offset"
         ),
     )
-    joined = df.join(F.broadcast(offsets), [part_col, bucket_col])
+    joined = df.join(F.broadcast(offsets), [*parts, bucket_col])
     return joined.withColumn(
         "bin_id",
         F.floor((local_preceding + F.col("_bucket_offset")) / target).cast(

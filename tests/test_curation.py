@@ -503,45 +503,335 @@ def test_temperature_sampling_stage_rebalances(spark, tmp_path):
     )
 
 
+_ALL_STAGE_NAMES = [
+    "input", "quality_gate", "domain_cap", "span_removal",
+    "exact_dedup", "neardup_prune", "semdedup", "decontaminate",
+    "lm_quality", "temperature_sample", "split_stamp", "chunk", "pack",
+]
+
+
 def test_all_stages_compose_in_one_run(spark, tmp_path):
-    """The full opt-in dataflow in one resumable job: gate + span
-    removal + dedup + decon + sampling + chunk + pack, with a
-    consistent lineage chain (each stage's n_in == predecessor's
-    n_out)."""
+    """The full opt-in dataflow in one resumable job: gate + domain
+    cap + span removal + dedup + semdedup + decon + lm-quality +
+    sampling + split + chunk + pack, with a consistent lineage chain
+    (each stage's n_in == predecessor's n_out)."""
     out = str(tmp_path / "cur")
     docs = _docs(spark, n=30).unionByName(_boiler_docs(spark, n=6))
     eval_docs = spark.createDataFrame(pd.DataFrame([
         {"text": " ".join(f"w005q{j:02d}" for j in range(5))},
     ]))
-    info = run_curation(
-        spark, docs, out, run_id="all1",
+    kwargs = dict(
         quality_min_chars=50, quality_dup_bigram_max=0.8,
-        remove_spans_min_docs=3, decon_eval=eval_docs,
-        sample_alpha=0.5,
+        domain_cap=100, remove_spans_min_docs=3,
+        semdedup_tau=0.99, decon_eval=eval_docs,
+        lm_quality_drop_z=4.0, sample_alpha=0.5,
+        split_fracs=(0.7, 0.15),
     )
+    info = run_curation(spark, docs, out, run_id="all1", **kwargs)
     lin = sorted(
         (r["stage_idx"], r["stage"], r["n_in"], r["n_out"])
         for r in spark.read.parquet(info["lineage_path"]).collect()
     )
     names = [s for _, s, _, _ in lin]
-    assert names == [
-        "input", "quality_gate", "span_removal", "exact_dedup",
-        "neardup_prune", "decontaminate", "temperature_sample",
-        "chunk", "pack",
-    ]
+    assert names == _ALL_STAGE_NAMES
     for (_, _, _, prev_out), (_, stage, n_in, _) in zip(lin, lin[1:]):
         assert n_in == prev_out, (stage, n_in, prev_out)
     assert info["n_survivors"] > 0 and info["n_bins"] > 0
     assert "https://ex.com/d005" not in {
         r["url"] for r in read_curated(spark, out).collect()
     }
+    # the split column rides survivors, chunks and bins; bins are
+    # split-pure by construction (pack partitions on (lang, split))
+    packed = spark.read.parquet(info["packed_path"]).collect()
+    assert {r["split"] for r in packed} <= {"train", "val", "test"}
+    by_bin: dict[tuple, set] = {}
+    for r in packed:
+        by_bin.setdefault((r["lang"], r["split"], r["bin_id"]),
+                          set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_bin.values())
     # unchanged everything -> no-op resume of the composed dataflow
     assert run_curation(
-        spark, docs, out, run_id="all2",
-        quality_min_chars=50, quality_dup_bigram_max=0.8,
-        remove_spans_min_docs=3, decon_eval=eval_docs,
-        sample_alpha=0.5,
+        spark, docs, out, run_id="all2", **kwargs
     ).get("skipped_noop") is True
+    # toggling any ROUND-6 stage knob re-curates (fingerprint covers
+    # domain cap, semdedup tau, lm-quality z and split fractions)
+    for delta in (
+        {"domain_cap": 5}, {"semdedup_tau": 0.5},
+        {"lm_quality_drop_z": 0.1}, {"split_fracs": (0.8, 0.1)},
+    ):
+        info2 = run_curation(
+            spark, docs, out, run_id=f"all-{list(delta)[0]}",
+            **{**kwargs, **delta},
+        )
+        assert "skipped_noop" not in info2, delta
+
+
+# --------------------------------------------------------------------------
+# round-6 opt-in stages: domain cap, SemDeDup prune, LM-quality tail
+# drop, train/val/test split — composed into the resumable pipeline
+# (round-5 verdict item 1)
+# --------------------------------------------------------------------------
+
+
+def test_domain_cap_stage_caps_hosts_and_heap_limits(spark, tmp_path):
+    """Per-host quota inside the pipeline: hot hosts drop to the cap
+    (longest-texts-win, url tie-break), lineage records the drop, the
+    cap is fingerprinted, and the executed plan uses WindowGroupLimit
+    (per-partition top-K heap before the shuffle)."""
+    from distributed_system___ocr_spark.curation import domain_cap_docs
+
+    out = str(tmp_path / "cur")
+    rows = []
+    for i in range(20):  # hot host: 20 docs
+        body = " ".join(f"h{i:03d}x{j:02d}" for j in range(40 + i))
+        rows.append({"url": f"https://hot.com/{i:03d}", "text": body,
+                     "lang": "en"})
+    for i in range(3):   # cold host: 3 docs
+        body = " ".join(f"c{i:03d}y{j:02d}" for j in range(40))
+        rows.append({"url": f"https://cold.com/{i:03d}", "text": body,
+                     "lang": "en"})
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    info = run_curation(spark, docs, out, run_id="dc1", domain_cap=5)
+    survivors = {r["url"] for r in read_curated(spark, out).collect()}
+    hot = {u for u in survivors if u.startswith("https://hot.com")}
+    cold = {u for u in survivors if u.startswith("https://cold.com")}
+    assert len(hot) == 5 and len(cold) == 3
+    # longest texts win: docs 15..19 have the most tokens
+    assert hot == {f"https://hot.com/{i:03d}" for i in range(15, 20)}
+    assert info["n_after_domain_cap"] == 8
+    lin = {
+        r["stage"]: (r["n_in"], r["n_out"])
+        for r in spark.read.parquet(info["lineage_path"]).collect()
+    }
+    assert lin["domain_cap"] == (info["n_input"], 8)
+    plan = (
+        domain_cap_docs(docs, 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+    # same cap -> no-op; different cap -> re-curates
+    assert run_curation(
+        spark, docs, out, run_id="dc2", domain_cap=5
+    ).get("skipped_noop") is True
+    assert "skipped_noop" not in run_curation(
+        spark, docs, out, run_id="dc3", domain_cap=2
+    )
+
+
+def test_semdedup_stage_drops_semantic_twin(spark, tmp_path):
+    """SemDeDup in the pipeline: a doc that is a full REVERSAL of
+    another (identical token bag -> cosine 1.0 under the hashed
+    bag-of-words featurization, but every 3-shingle differs, so exact
+    dedup AND MinHash both miss it) drops at the semdedup stage; the
+    min-url representative survives."""
+    out = str(tmp_path / "cur")
+    docs = _docs(spark, n=12)
+    base = _text(4)
+    toks = base.split()
+    # reverse the token order: same multiset, zero shared 3-shingles
+    perm = " ".join(reversed(toks))
+    docs = docs.unionByName(spark.createDataFrame(pd.DataFrame([
+        {"url": "https://zmirror.com/d004-permuted", "text": perm,
+         "lang": "en"},
+    ])))
+    info = run_curation(
+        spark, docs, out, run_id="sd1", semdedup_tau=0.95,
+    )
+    survivors = {r["url"] for r in read_curated(spark, out).collect()}
+    assert "https://zmirror.com/d004-permuted" not in survivors
+    assert "https://ex.com/d004" in survivors  # min-url representative
+    assert info["n_after_semdedup"] == info["n_after_neardup"] - 1
+    lin = {
+        r["stage"]: (r["n_in"], r["n_out"])
+        for r in spark.read.parquet(info["lineage_path"]).collect()
+    }
+    assert lin["semdedup"] == (
+        info["n_after_neardup"], info["n_after_semdedup"]
+    )
+    # same tau -> no-op; different tau -> re-curates
+    assert run_curation(
+        spark, docs, out, run_id="sd2", semdedup_tau=0.95,
+    ).get("skipped_noop") is True
+    assert "skipped_noop" not in run_curation(
+        spark, docs, out, run_id="sd3", semdedup_tau=0.5,
+    )
+
+
+def test_semdedup_stage_external_embeddings_fingerprinted(
+    spark, tmp_path
+):
+    """Supplying model embeddings switches the provider; their CONTENT
+    joins the fingerprint (changed vectors must re-curate), and
+    embeddings without the tau switch error out."""
+    out = str(tmp_path / "cur")
+    docs = _docs(spark, n=8)
+    urls = [r["url"] for r in docs.select("url").collect()]
+    # two near-identical vectors for d000 and its mirror; others spread
+    def vec(i, twin):
+        v = [0.0] * 8
+        v[i % 8] = 1.0
+        if twin:
+            v[(i + 1) % 8] = 0.05
+        return v
+    emb_rows = []
+    for j, u in enumerate(sorted(urls)):
+        twin = "mirror" in u or "d000" in u
+        emb_rows.append({"url": u, "v": vec(0 if twin else j, twin)})
+    emb = spark.createDataFrame(pd.DataFrame(emb_rows))
+    info = run_curation(
+        spark, docs, out, run_id="e1", semdedup_tau=0.9,
+        semdedup_embeddings=emb,
+    )
+    assert info["n_after_semdedup"] <= info["n_after_neardup"]
+    assert run_curation(
+        spark, docs, out, run_id="e2", semdedup_tau=0.9,
+        semdedup_embeddings=emb,
+    ).get("skipped_noop") is True
+    # changed embedding content -> re-curate
+    emb2 = spark.createDataFrame(pd.DataFrame(
+        [{**r, "v": [x * 2 for x in r["v"]]} for r in emb_rows]
+    ))
+    assert "skipped_noop" not in run_curation(
+        spark, docs, out, run_id="e3", semdedup_tau=0.9,
+        semdedup_embeddings=emb2,
+    )
+    with pytest.raises(ValueError, match="semdedup_tau"):
+        run_curation(spark, docs, out, run_id="e4",
+                     semdedup_embeddings=emb)
+
+
+def test_lm_quality_stage_drops_low_quality_tail(spark, tmp_path):
+    """LM-quality tail drop: a doc made of corpus-unique gibberish
+    tokens scores far below its language's mean and drops; ordinary
+    docs sharing the common vocabulary survive. The z knob is
+    fingerprinted."""
+    out = str(tmp_path / "cur")
+    common = " ".join("the quick brown fox jumps over lazy dogs"
+                      .split() * 5)
+    rows = [
+        # shared high-frequency vocabulary + enough per-doc unique
+        # filler that the docs are NOT MinHash near-dups of each other
+        {"url": f"https://ex.com/c{i:02d}",
+         "text": common + " "
+         + " ".join(f"u{i:02d}w{j:02d}" for j in range(40)),
+         "lang": "en"}
+        for i in range(12)
+    ]
+    rows.append({
+        "url": "https://ex.com/gibberish",
+        "text": " ".join(f"zzqx{j:03d}" for j in range(80)),
+        "lang": "en",
+    })
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    info = run_curation(
+        spark, docs, out, run_id="lm1", lm_quality_drop_z=1.0,
+    )
+    survivors = {r["url"] for r in read_curated(spark, out).collect()}
+    assert "https://ex.com/gibberish" not in survivors
+    assert "https://ex.com/c03" in survivors
+    lin = {
+        r["stage"]: (r["n_in"], r["n_out"])
+        for r in spark.read.parquet(info["lineage_path"]).collect()
+    }
+    assert lin["lm_quality"][1] == info["n_after_lm_quality"]
+    assert info["n_after_lm_quality"] < info["n_after_decon"]
+    assert run_curation(
+        spark, docs, out, run_id="lm2", lm_quality_drop_z=1.0,
+    ).get("skipped_noop") is True
+    assert "skipped_noop" not in run_curation(
+        spark, docs, out, run_id="lm3", lm_quality_drop_z=3.0,
+    )
+
+
+def test_split_stage_stamps_deterministic_split(spark, tmp_path):
+    """The split column must be the documented pure function of the
+    url (md5 bucket of 1M against the fraction thresholds) — verified
+    against an independent Python md5 computation — and ride chunks
+    and packed bins; fractions are fingerprinted."""
+    import hashlib
+
+    out = str(tmp_path / "cur")
+    docs = _docs(spark, n=30)
+    info = run_curation(
+        spark, docs, out, run_id="sp1", split_fracs=(0.6, 0.2),
+    )
+    got = {r["url"]: r["split"]
+           for r in read_curated(spark, out).collect()}
+    assert got
+    for url, split in got.items():
+        b = int(hashlib.md5(url.encode()).hexdigest()[:8], 16) % 1_000_000
+        want = ("train" if b < 600_000
+                else "val" if b < 800_000 else "test")
+        assert split == want, (url, b)
+    packed = spark.read.parquet(info["packed_path"]).collect()
+    for r in packed:
+        assert r["split"] == got[r["url"]]
+    assert run_curation(
+        spark, docs, out, run_id="sp2", split_fracs=(0.6, 0.2),
+    ).get("skipped_noop") is True
+    assert "skipped_noop" not in run_curation(
+        spark, docs, out, run_id="sp3", split_fracs=(0.8, 0.1),
+    )
+    with pytest.raises(ValueError, match="split_fracs"):
+        run_curation(spark, docs, out, run_id="sp4",
+                     split_fracs=(0.9, 0.2))
+
+
+def test_vacuum_refuses_while_run_in_flight(spark, tmp_path):
+    """Round-6 advice: a vacuum racing a live curation run must fail
+    loudly instead of sweeping the run's staging dirs; stale sentinels
+    of dead processes are swept, not honored; a failed run removes its
+    sentinel (only a hard kill leaves one)."""
+    import os
+
+    from distributed_system___ocr_spark.curation import (
+        _inflight_path,
+        vacuum_curation,
+    )
+
+    out = str(tmp_path / "cur")
+    run_curation(spark, _docs(spark, n=6), out, run_id="c1")
+    run_curation(spark, _docs(spark, n=8), out, run_id="c2")
+    # no sentinels after committed runs
+    ck = os.path.join(out, "_checkpoint")
+    assert not [f for f in os.listdir(ck) if f.startswith("INFLIGHT-")]
+
+    # live sentinel (this test's pid) -> vacuum refuses
+    with open(_inflight_path(out, "racer"), "w") as f:
+        f.write(str(os.getpid()))
+    with pytest.raises(RuntimeError, match="in flight"):
+        vacuum_curation(out, keep_last=1)
+
+    # dead-pid sentinel is stale debris: swept, vacuum proceeds
+    os.remove(_inflight_path(out, "racer"))
+    with open(_inflight_path(out, "ghost"), "w") as f:
+        f.write("999999999")
+    snap = vacuum_curation(out, keep_last=1)
+    assert snap["runs"] == ["c2"]
+    assert not os.path.exists(_inflight_path(out, "ghost"))
+    # removed_paths is IN the persisted snapshot (round-6 advice:
+    # disk and returned object must agree)
+    with open(os.path.join(ck, f"snapshot-{snap['n']}.json")) as f:
+        on_disk = json.load(f)
+    assert on_disk == snap
+    assert any("run_id=c1" in p for p in snap["removed_paths"])
+
+
+def test_vacuum_tolerates_missing_historical_snapshot(spark, tmp_path):
+    """Round-6 advice: one manually-deleted historical snapshot file
+    must not block retention forever."""
+    import os
+
+    from distributed_system___ocr_spark.curation import vacuum_curation
+
+    out = str(tmp_path / "cur")
+    run_curation(spark, _docs(spark, n=6), out, run_id="c1")
+    run_curation(spark, _docs(spark, n=8), out, run_id="c2")
+    run_curation(spark, _docs(spark, n=10), out, run_id="c3")
+    os.remove(os.path.join(out, "_checkpoint", "snapshot-0.json"))
+    snap = vacuum_curation(out, keep_last=2)
+    assert snap["runs"] == ["c2", "c3"]
+    assert read_curated(spark, out).count() > 0
 
 
 def test_algorithm_version_bump_recurates(spark, tmp_path, monkeypatch):
