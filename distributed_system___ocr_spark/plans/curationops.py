@@ -1221,3 +1221,93 @@ def train_val_test_split(spark, sf_dir):
         .when(b < _SPLIT_VAL, "val")
         .otherwise("test").alias("split"),
     )
+
+
+# --------------------------------------------------------------------------
+# LM-quality tail drop (round 6: the act-on-it form of the z-buckets)
+# --------------------------------------------------------------------------
+# The decision surface the composed pipeline's lm_quality stage runs:
+# KEEP the head and middle of each language's quality distribution,
+# drop the tail — same per-lang decimal-exact z-score machinery as
+# lm_quality_zbuckets (never a per-lang single-task ntile sort), with
+# the keep verdict applied instead of labeled. Precedent:
+# common_ngram_fraction (signal) vs remove_common_spans (act-on-it).
+
+
+@register(
+    "lm_quality_tail_drop",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS ctf FROM toks GROUP BY term),
+    tot AS (SELECT count(*) AS n_total FROM toks),
+    lp AS (
+      SELECT term,
+             CAST(round(ln(ctf / n_total), 9) AS DECIMAL(20,9)) AS logp
+      FROM tf, tot
+    ),
+    score AS (
+      SELECT doc_id,
+             round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS s
+      FROM toks JOIN lp USING (term)
+      GROUP BY doc_id
+    ),
+    sl AS (
+      SELECT d.doc_id, d.lang, s.s FROM documents d JOIN score s USING (doc_id)
+    ),
+    stats AS (
+      SELECT lang, count(*) AS n,
+             CAST(sum(CAST(round(s, 6) AS DECIMAL(20,6))) AS DOUBLE)
+               AS sum_s,
+             CAST(sum(CAST(round(s * s, 9) AS DECIMAL(25,9))) AS DOUBLE)
+               AS sum_s2
+      FROM sl GROUP BY lang
+    ),
+    b AS (
+      SELECT lang,
+             sum_s / n AS mu,
+             sqrt(greatest((sum_s2 - sum_s * sum_s / n) / n, 0)) AS sigma
+      FROM stats
+    )
+    SELECT sl.doc_id, sl.lang, sl.s AS avg_logprob
+    FROM sl JOIN b USING (lang)
+    WHERE sl.s >= b.mu - {_ZB_HI} * b.sigma
+    """,
+)
+def lm_quality_tail_drop(spark, sf_dir):
+    """Survivors = every doc not in its language's quality tail; built
+    by filtering the z-buckets (one dataflow, keep semantics applied).
+    The composed curation stage (curation.lm_quality_survivors) runs
+    the identical kernel url-keyed with a configurable z."""
+    return (
+        lm_quality_zbuckets(spark, sf_dir)
+        .filter(F.col("bucket") != "tail")
+        .select("doc_id", "lang", "avg_logprob")
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup survivors (round 6: the drop form of semdedup_pairs)
+# --------------------------------------------------------------------------
+# Pairs -> connected components -> min-vec_id representative per
+# semantic cluster: the registry twin of the composed pipeline's
+# semdedup stage (curation.semdedup_prune). Rows-only like
+# semdedup_pairs (iterative k-means training has no SQL oracle);
+# tests/test_curationops.py pins survivors == a union-find over the
+# pair set, determinism, and that the gate actually drops rows.
+
+
+@register("semdedup_survivors_min_rep", None)
+def semdedup_survivors_min_rep(spark, sf_dir):
+    from ..operators.components import connected_components
+
+    ids = _t(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = semdedup_pairs(spark, sf_dir)
+    labels = connected_components(
+        ids, pairs, vertex_col="vec_id", src="a_id", dst="b_id"
+    )
+    return (
+        labels.filter(F.col("id") == F.col("component"))
+        .select(F.col("id").alias("vec_id"))
+    )

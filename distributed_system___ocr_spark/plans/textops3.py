@@ -528,3 +528,87 @@ def decontaminate_ngram_overlap(spark, sf_dir):
         F.countDistinct("g").alias("n_grams"),
         (overlap > 0).alias("is_contaminated"),
     )
+
+
+# --------------------------------------------------------------------------
+# split-pure greedy packing (round 6: the packer the split stage uses)
+# --------------------------------------------------------------------------
+# The composed curation pipeline packs per (lang, split) when the
+# train/val/test stamp is enabled — a training bin must never mix
+# splits. This is the oracle-gated form of that generalized packer:
+# the deterministic md5-bucket split joins the partition key and the
+# two-phase prefix sum (operators/packing.greedy_pack_bins with a
+# composite part_col) must stay byte-identical to the naive
+# single-window-per-(lang, split) plan the oracle encodes. Scale
+# shape: identical to pack_docs_greedy — the split key only narrows
+# each partition, it never concentrates one.
+
+_PACK_SPLIT_TRAIN = 800_000  # of 1M md5 buckets -> 80% train
+_PACK_SPLIT_VAL = 900_000    # next 10% val; rest test
+
+
+@register(
+    "pack_docs_greedy_split",
+    f"""
+    WITH s AS (
+      SELECT lang, doc_id, n_chars,
+             CASE WHEN {{bucket}} < {_PACK_SPLIT_TRAIN} THEN 'train'
+                  WHEN {{bucket}} < {_PACK_SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, doc_id, n_chars,
+           CAST(floor((sum(n_chars) OVER (PARTITION BY lang, split
+                 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars)
+                / {_PACK_TARGET}) AS BIGINT) AS bin_id
+    FROM s
+    """,
+)
+def pack_docs_greedy_split(spark, sf_dir):
+    """Two-phase exact prefix sum per (lang, split): same doc_id-range
+    bucketing as pack_docs_greedy (a per-lang bucket stays monotone
+    within every (lang, split) sub-partition), composite partition
+    key via greedy_pack_bins(part_col=["lang", "split"])."""
+    from ..operators.packing import N_PACK_BUCKETS, greedy_pack_bins
+    from .textops2 import _spark_bucket
+
+    split = (
+        F.when(_spark_bucket(1_000_000) < _PACK_SPLIT_TRAIN, "train")
+        .when(_spark_bucket(1_000_000) < _PACK_SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars", split.alias("split")
+    )
+    stats = d.groupBy("lang").agg(
+        F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx")
+    )
+    span = F.greatest(
+        F.ceil((F.col("_mx") - F.col("_mn") + 1) / N_PACK_BUCKETS),
+        F.lit(1),
+    )
+    bucketed = (
+        d.join(F.broadcast(stats), "lang")
+        .withColumn(
+            "_bkt",
+            F.floor((F.col("doc_id") - F.col("_mn")) / span).cast("int"),
+        )
+        .drop("_mn", "_mx")
+    )
+    return greedy_pack_bins(
+        bucketed, _PACK_TARGET, "_bkt", ["doc_id"],
+        part_col=["lang", "split"],
+    ).select("lang", "split", "doc_id", "n_chars", "bin_id")
+
+
+def _pack_split_patch_sql() -> None:
+    from .queries import REGISTRY
+    from .textops2 import _duck_bucket
+
+    REGISTRY["pack_docs_greedy_split"]["sql"] = (
+        REGISTRY["pack_docs_greedy_split"]["sql"]
+        .replace("{bucket}", _duck_bucket(1_000_000))
+    )
+
+
+_pack_split_patch_sql()

@@ -564,3 +564,62 @@ def test_train_val_test_split_proportions_and_stability(spark):
     again = {r["doc_id"]: r["split"]
              for r in train_val_test_split(spark, SF).collect()}
     assert {r["doc_id"]: r["split"] for r in rows} == again
+
+
+def test_semdedup_survivors_min_rep_matches_union_find(spark):
+    """Rows-only gate for the drop form: survivors must equal a
+    Python union-find over the pair set (min-id representative per
+    component, singletons survive), the gate must actually drop rows,
+    and the result must be deterministic."""
+    from distributed_system___ocr_spark.plans.curationops import (
+        semdedup_survivors_min_rep,
+    )
+
+    pairs = _pairs_set(semdedup_pairs(spark, SF))
+    assert pairs
+    all_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id").collect()
+    }
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    expected = {i for i in all_ids if find(i) == i}
+
+    got = {
+        r["vec_id"]
+        for r in semdedup_survivors_min_rep(spark, SF).collect()
+    }
+    assert got == expected
+    assert len(got) < len(all_ids)  # the gate fired
+    again = {
+        r["vec_id"]
+        for r in semdedup_survivors_min_rep(spark, SF).collect()
+    }
+    assert got == again
+
+
+def test_lm_quality_tail_drop_is_zbuckets_keep_set(spark):
+    """The act-on-it form must keep exactly the head+middle docs of
+    the z-buckets (same kernel, verdict applied)."""
+    from distributed_system___ocr_spark.plans.curationops import (
+        lm_quality_tail_drop,
+        lm_quality_zbuckets,
+    )
+
+    zb = {r["doc_id"]: r["bucket"]
+          for r in lm_quality_zbuckets(spark, SF).collect()}
+    kept = {r["doc_id"] for r in lm_quality_tail_drop(spark, SF).collect()}
+    assert kept == {d for d, b in zb.items() if b != "tail"}
+    assert kept and len(kept) < len(zb)  # the tail is non-empty
