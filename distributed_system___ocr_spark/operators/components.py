@@ -6,11 +6,25 @@ per component"). The reference has nothing like it; classic public
 algorithm (label propagation; see also Kiveris et al. large-star/
 small-star for the shuffle-optimal variant, noted below).
 
+Scale shape (round-6 hardening):
+
+- the symmetrized edge set is localCheckpointed ONCE up front —
+  edges typically arrive as an expensive pipeline (the LSH band join,
+  the SemDeDup cell kernel), and every iteration issues actions, so
+  an un-materialized edge frame would re-run that pipeline per round;
+- iteration state is bounded by PAIR-TOUCHED vertices only: a vertex
+  with no edge is its own component by definition, so the (at web
+  scale, vastly larger) untouched remainder never enters the loop —
+  it joins back in one final left join. The round-5 shape carried
+  the FULL vertex frame through every iteration's join + checkpoint,
+  i.e. iterations x corpus-sized materializations for a graph whose
+  edges touch a few percent of the corpus.
+
 Each iteration is one join + one aggregation, both shuffling on the
 vertex id; iterations = graph diameter (near-dup graphs are shallow —
-a handful of rounds at web scale). DataFrames are localCheckpointed
-per round so the plan doesn't grow linearly with iterations (lineage
-blow-up is the classic iterative-Spark trap).
+a handful of rounds at web scale). Per-round localCheckpoint keeps
+the plan from growing linearly with iterations (lineage blow-up is
+the classic iterative-Spark trap).
 """
 
 from __future__ import annotations
@@ -30,16 +44,25 @@ def connected_components(
     """vertices(id) + edges(src, dst) -> (id, component) where
     component = min vertex id reachable. Undirected (edges are
     symmetrized here). Raises if not converged in max_iterations."""
-    sym = edges.select(
-        F.col(src).alias("s"), F.col(dst).alias("d")
-    ).unionByName(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-    ).distinct()
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+        .distinct()
+        .localCheckpoint()  # materialize the edge pipeline ONCE
+    )
 
-    labels = vertices.select(
-        F.col(vertex_col).alias("id"), F.col(vertex_col).alias("component")
-    ).localCheckpoint()
+    # only pair-touched vertices iterate (sym is symmetrized, so the
+    # s column alone covers both endpoints)
+    labels = (
+        sym.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
 
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["d"] == labels["id"])
@@ -64,8 +87,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iterations} rounds"
-        " — for adversarially deep graphs switch to large-star/small-star"
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+            " — for adversarially deep graphs switch to large-star/small-star"
+        )
+
+    # untouched vertices are their own component; one corpus-sized
+    # left join instead of carrying them through every iteration
+    return vertices.select(F.col(vertex_col).alias("id")).join(
+        labels, "id", "left"
+    ).select(
+        "id", F.coalesce(F.col("component"), F.col("id")).alias("component")
     )

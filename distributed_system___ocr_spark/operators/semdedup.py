@@ -207,13 +207,20 @@ def feature_hash_embed(
 
     @F.pandas_udf("array<double>")
     def _embed(texts: pd.Series) -> pd.Series:
+        # memoize (bucket, sign) per UNIQUE token within the batch:
+        # web text repeats its vocabulary heavily, so this cuts the
+        # crc32 count from total-tokens to batch-vocabulary
+        memo: dict[str, tuple[int, float]] = {}
         out = []
         for t in texts:
             vec = np.zeros(dim, dtype=np.float64)
             for tok in (t or "").split():
-                h = zlib.crc32(tok.encode("utf-8"))
-                sign = 1.0 if (h >> 16) & 1 else -1.0
-                vec[h % dim] += sign
+                bs = memo.get(tok)
+                if bs is None:
+                    h = zlib.crc32(tok.encode("utf-8"))
+                    bs = (h % dim, 1.0 if (h >> 16) & 1 else -1.0)
+                    memo[tok] = bs
+                vec[bs[0]] += bs[1]
             nrm = float(np.sqrt((vec * vec).sum()))
             if nrm > 0:
                 vec /= nrm
