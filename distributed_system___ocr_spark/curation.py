@@ -1007,7 +1007,15 @@ def run_curation(
             pack_target,
             part_cols=("lang", *split_extra),
         )
-        packed.write.mode("overwrite").parquet(packed_path)
+        # when the split stage is on, partition the packed layout by
+        # split: a training reader of split=train then PRUNES the
+        # val/test files at the directory level (PartitionFilters in
+        # the scan) instead of scanning and filtering 100% of the
+        # chunk bytes — the read-side win the stamp exists for
+        writer = packed.write.mode("overwrite")
+        if split_fracs is not None:
+            writer = writer.partitionBy("split")
+        writer.parquet(packed_path)
         packed_back = spark.read.parquet(packed_path)
         n_chunks = packed_back.count()
         n_bins = packed_back.select(
@@ -1074,15 +1082,29 @@ def run_curation(
     }
 
 
-def read_packed(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Packed chunks of the latest committed curation snapshot."""
+def read_packed(
+    spark: SparkSession, out_dir: str, split: str | None = None
+) -> DataFrame:
+    """Packed chunks of the latest committed curation snapshot. With
+    ``split`` (and a run curated with ``split_fracs``), the filter
+    lands on the split-partitioned directory layout, so a training
+    reader of split=train never opens val/test files (partition
+    pruning, not a post-scan filter)."""
     snap = load_curation_snapshot(out_dir)
     if not snap:
         raise FileNotFoundError(f"no committed curation under {out_dir}")
     rid = snap.get("latest_run", snap["runs"][-1])
-    return spark.read.parquet(
+    df = spark.read.parquet(
         os.path.join(out_dir, "curated", f"run_id={rid}", "packed")
     )
+    if split is not None:
+        if "split" not in df.columns:
+            raise ValueError(
+                "this curation run was not split-stamped (run with "
+                "split_fracs to enable train/val/test reads)"
+            )
+        df = df.filter(F.col("split") == split)
+    return df
 
 
 def export_packed_jsonl(

@@ -22,15 +22,39 @@ Scale shape (round-6 hardening):
 
 Each iteration is one join + one aggregation, both shuffling on the
 vertex id; iterations = graph diameter (near-dup graphs are shallow —
-a handful of rounds at web scale). Per-round localCheckpoint keeps
-the plan from growing linearly with iterations (lineage blow-up is
-the classic iterative-Spark trap).
+a handful of rounds at web scale).
+
+Memory lifecycle (round-6 fix): per-round localCheckpoint stays — it
+truncates lineage, keeping every iteration's plan FLAT (a persist()
+variant measured ~6 s/round of pure planning latency as the nested
+plan deepened, vs ~1 s/round checkpointed) — but every SUPERSEDED
+checkpoint's blocks are now released explicitly (the checkpointed
+RDD behind the LogicalRDD node, unpersisted once the next round's
+checkpoint is materialized). The round-5 shape never released them:
+blocks that outlive the call and accumulate across repeated
+invocations in one session (each curation run calls this twice —
+MinHash prune + SemDeDup prune). Only the FINAL label frame's blocks
+survive the call; they are freed when the caller drops the returned
+DataFrame.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _free_ckpt(df: DataFrame) -> None:
+    """Release the storage blocks behind a localCheckpointed frame
+    NOW instead of waiting for JVM GC + ContextCleaner. Only call on
+    frames that are never read again — a checkpointed RDD has no
+    lineage to recompute from. Best-effort: the internal plan-node
+    shape (LogicalRDD.rdd) is pinned by a unit test, and a mismatch
+    degrades to the old GC-eventually behavior."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def connected_components(
@@ -62,38 +86,46 @@ def connected_components(
         .localCheckpoint()
     )
 
-    converged = False
-    for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym["d"] == labels["id"])
-            .groupBy("s")
-            .agg(F.min("component").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["s"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
+    try:
+        converged = False
+        for _ in range(max_iterations):
+            neighbor_min = (
+                sym.join(labels, sym["d"] == labels["id"])
+                .groupBy("s")
+                .agg(F.min("component").alias("nmin"))
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds"
-            " — for adversarially deep graphs switch to large-star/small-star"
-        )
+            new_labels = (
+                labels.join(
+                    neighbor_min, labels["id"] == neighbor_min["s"], "left"
+                )
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nmin"), F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint()  # eager: materialized right here
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            _free_ckpt(labels)  # superseded — release its blocks now
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in "
+                f"{max_iterations} rounds — for adversarially deep "
+                "graphs switch to large-star/small-star"
+            )
+    finally:
+        _free_ckpt(sym)  # the final labels frame no longer needs it
 
     # untouched vertices are their own component; one corpus-sized
     # left join instead of carrying them through every iteration

@@ -68,6 +68,17 @@ def get_spark(
         .config("spark.sql.files.openCostInBytes", "512k")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # bound the in-memory status stores: they populate even with
+        # the UI server off, and the DEFAULT spark.sql.ui.
+        # retainedExecutions=1000 retains each query's full plan
+        # strings — for the composed curation chain those are MBs per
+        # execution, measured ~0.9 GB of unreclaimable driver heap per
+        # run_curation invocation (round-6 OOM in long sessions).
+        # Capped, the same loop sawtooths stably around ~2 GB.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra or {}).items():

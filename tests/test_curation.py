@@ -766,6 +766,27 @@ def test_split_stage_stamps_deterministic_split(spark, tmp_path):
     packed = spark.read.parquet(info["packed_path"]).collect()
     for r in packed:
         assert r["split"] == got[r["url"]]
+
+    # the packed layout is PARTITIONED by split: a train-only reader
+    # prunes val/test files at the directory level
+    import os as _os
+
+    from distributed_system___ocr_spark.curation import read_packed
+
+    subdirs = {d for d in _os.listdir(info["packed_path"])
+               if d.startswith("split=")}
+    assert subdirs == {f"split={s}" for s in
+                       {r["split"] for r in packed}}
+    train = read_packed(spark, out, split="train")
+    assert {r["split"] for r in train.collect()} == {"train"}
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan, plan
+    with pytest.raises(ValueError, match="not split-stamped"):
+        # e1: an earlier unsplit fixture dir
+        out_unsplit = str(tmp_path / "cur_unsplit")
+        run_curation(spark, docs, out_unsplit, run_id="u1")
+        read_packed(spark, out_unsplit, split="train")
+
     assert run_curation(
         spark, docs, out, run_id="sp2", split_fracs=(0.6, 0.2),
     ).get("skipped_noop") is True

@@ -623,3 +623,38 @@ def test_lm_quality_tail_drop_is_zbuckets_keep_set(spark):
     kept = {r["doc_id"] for r in lm_quality_tail_drop(spark, SF).collect()}
     assert kept == {d for d, b in zb.items() if b != "tail"}
     assert kept and len(kept) < len(zb)  # the tail is non-empty
+
+
+def test_connected_components_releases_superseded_blocks(spark):
+    """Round-6 memory fix: components must leave at most ONE stored
+    block set behind (the final labels checkpoint) — the round-5 shape
+    leaked every iteration's checkpoint, which accumulated across the
+    two components calls per curation run into a driver-heap OOM. Also
+    pins the _free_ckpt internal-API shape (LogicalRDD.rdd): if a
+    Spark upgrade changes it, this fails loudly instead of silently
+    regressing to GC-eventually."""
+    import pandas as pd
+
+    from distributed_system___ocr_spark.operators.components import (
+        _free_ckpt,
+        connected_components,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    base = len(jsc.getRDDStorageInfo())
+
+    # _free_ckpt works on the current Spark's plan shape
+    ck = spark.createDataFrame(pd.DataFrame({"x": [1, 2]})).localCheckpoint()
+    assert len(jsc.getRDDStorageInfo()) == base + 1
+    _free_ckpt(ck)
+    assert len(jsc.getRDDStorageInfo()) == base
+
+    verts = spark.createDataFrame(pd.DataFrame({"id": list(range(50))}))
+    edges = spark.createDataFrame(pd.DataFrame(
+        {"src": [0, 1, 2, 10, 11], "dst": [1, 2, 3, 11, 12]}))
+    out = connected_components(verts, edges)
+    comp = {r["id"]: r["component"] for r in out.collect()}
+    assert comp[3] == 0 and comp[12] == 10 and comp[49] == 49
+    # a multi-iteration run leaves exactly one checkpoint (the final
+    # labels) — sym and every superseded round were released
+    assert len(jsc.getRDDStorageInfo()) == base + 1
