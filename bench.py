@@ -207,11 +207,11 @@ def bench_curation(spark, tmp: str) -> dict:
     """Composed curation end-to-end over the 200k-page corpus's
     extraction output — the per-round tracked number for the curation
     surface. Round 6 composes EVERY opt-in stage: gate + domain cap +
-    span removal + exact dedup + LSH prune + SemDeDup + decontamination
-    + LM-quality tail drop + temperature sampling + split stamp +
-    chunk + two-phase split-pure pack (the round-5 number covered the
-    round-5 stage set only — see BENCH/BASELINE.md for the
-    discontinuity note). Corpus prep (extract + write) is untimed; the
+    span removal + keep-first segment dedup + exact dedup + LSH prune
+    + SemDeDup + decontamination + LM-quality tail drop + temperature
+    sampling + split stamp + chunk + two-phase split-pure pack (the
+    round-5 number covered the round-5 stage set only — see
+    BENCH/BASELINE.md for the discontinuity note). Corpus prep (extract + write) is untimed; the
     timed region is ONE run_curation call, fingerprint to snapshot
     commit."""
     import pandas as pd
@@ -243,6 +243,7 @@ def bench_curation(spark, tmp: str) -> dict:
         quality_min_chars=30,
         domain_cap=50_000,  # fires on the hot Zipf host only
         remove_spans_min_docs=5000,
+        segment_dedup_n=32,  # keep-first tile dedup ahead of exact dedup
         semdedup_tau=0.92,
         decon_eval=eval_docs,
         lm_quality_drop_z=2.0,

@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--span-ngram", type=int, default=5)
     p.add_argument(
+        "--segment-dedup-n", type=int, default=None,
+        help="switch on keep-first global segment dedup: drop every "
+        "later occurrence of any n-token tile corpus-wide (C4/CCNet "
+        "rule), before exact dedup",
+    )
+    p.add_argument(
         "--semdedup-tau", type=float, default=None,
         help="switch on SemDeDup semantic near-dup pruning at this "
         "cosine threshold (k~sqrt(N) trained cells, min-url "
@@ -227,6 +233,7 @@ def main(argv: list[str] | None = None) -> int:
             domain_cap=args.domain_cap,
             remove_spans_min_docs=args.remove_spans_min_docs,
             span_ngram=args.span_ngram,
+            segment_dedup_n=args.segment_dedup_n,
             semdedup_tau=args.semdedup_tau,
             semdedup_embeddings=(
                 spark.read.parquet(args.semdedup_embeddings)

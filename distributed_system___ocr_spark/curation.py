@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.minhash import BAND_SIZE, N_HASHES, TOKEN_HASH_VERSION
-from .operators.components import connected_components
+from .operators.components import _free_ckpt, connected_components
 from .operators.neardup import minhash_lsh_pairs_scale
 from .operators.packing import greedy_pack_bins, monotone_hash_bucket
 from .operators.resume import _atomic_write
@@ -392,6 +392,64 @@ def remove_boilerplate_spans(
     kept = F.transform(keep_pos, lambda p: F.element_at("t", p))
     return joined.select(
         "url", F.array_join(kept, " ").alias("text"), "lang"
+    )
+
+
+def dedup_segments_first(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Keep-FIRST global segment dedup — the C4 "three-sentence span" /
+    CCNet paragraph rule: the corpus is tiled into non-overlapping
+    ``n``-token segments, the globally first occurrence (min (url, s))
+    of every distinct segment survives, every later occurrence (any
+    doc, any position) is dropped, and docs are reassembled from their
+    surviving tiles in order. The pipeline twin of the oracle-gated
+    ``dedup_segments_keep_first`` registry query (plans/curationops.py),
+    keyed on url and emitting the (url, text, lang) doc schema so it
+    chains ahead of exact dedup (a doc reduced to previously-seen
+    boilerplate empties here and is nonblank-filtered by the stage
+    wrapper). Complements span removal: that stage drops EVERY
+    occurrence of a >= K-doc n-gram, this one keeps the first.
+
+    Scale shape: the tile explode is linear; the winner per distinct
+    segment is ONE segment-keyed min(struct(url, s)) aggregation —
+    partially aggregatable, so a web-scale boilerplate tile collapses
+    map-side instead of single-task-sorting a mega-group in a
+    row_number window; reassembly is a per-doc collect + array_sort
+    (bounded by the doc's own tiles) and one url-keyed join. The
+    segment text crosses the shuffle once — the winner must carry it
+    for reassembly. ``docs`` must be url-unique (the extraction
+    contract), or reassembly would merge token streams.
+    """
+    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
+    staged = docs.select("url", "lang", toks.alias("t"))
+    tiles = F.expr(
+        f"transform(sequence(1, size(t), {int(n)}), "
+        f"i -> struct(i AS s, concat_ws(' ', slice(t, i, {int(n)})) AS seg))"
+    )
+    segs = (
+        staged.filter(F.size("t") > 0)
+        .select("url", F.explode(tiles).alias("x"))
+        .select("url", F.col("x.s").alias("s"), F.col("x.seg").alias("seg"))
+    )
+    winners = (
+        segs.groupBy("seg")
+        .agg(F.min(F.struct("url", "s")).alias("w"))
+        .select(F.col("w.url").alias("url"), F.col("w.s").alias("s"), "seg")
+    )
+    kept = winners.groupBy("url").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("text")
+    )
+    # whitespace-only docs (no tiles) keep an empty text, like the
+    # span-removal stage — the pipeline's nonblank filter drops them
+    return (
+        staged.select("url", "lang")
+        .join(kept, "url", "left")
+        .select("url", F.coalesce("text", F.lit("")).alias("text"), "lang")
     )
 
 
@@ -736,6 +794,7 @@ def run_curation(
     domain_cap: int | None = None,
     remove_spans_min_docs: int | None = None,
     span_ngram: int = 5,
+    segment_dedup_n: int | None = None,
     semdedup_tau: float | None = None,
     semdedup_embeddings: DataFrame | None = None,
     decon_eval: DataFrame | None = None,
@@ -759,6 +818,9 @@ def run_curation(
     - ``remove_spans_min_docs``: cross-doc boilerplate span removal
       (rewrites text BEFORE dedup, so de-boilerplated twins collapse;
       docs emptied by the removal drop here);
+    - ``segment_dedup_n``: keep-first global segment dedup (C4/CCNet
+      rule): later occurrences of any ``n``-token tile drop corpus-
+      wide, first occurrence survives; docs emptied by it drop here;
     - ``semdedup_tau``: SemDeDup semantic near-dup pruning of the
       syntactic (MinHash) survivors — k ~ sqrt(N) trained quantizer +
       within-cell cosine pairs + min-url representative
@@ -777,9 +839,9 @@ def run_curation(
       packed bins — bins are split-pure (pack partitions by
       (lang, split)).
 
-    Full order: gate -> domain cap -> span removal -> exact dedup ->
-    near-dup prune -> semdedup -> decontaminate -> lm quality ->
-    temperature sample -> split stamp -> chunk -> pack."""
+    Full order: gate -> domain cap -> span removal -> segment dedup ->
+    exact dedup -> near-dup prune -> semdedup -> decontaminate ->
+    lm quality -> temperature sample -> split stamp -> chunk -> pack."""
     run_id = run_id or uuid.uuid4().hex[:12]
     prev = load_curation_snapshot(out_dir)
     committed = set(prev["runs"]) if prev else set()
@@ -804,6 +866,8 @@ def run_curation(
         )
     if domain_cap is not None and domain_cap < 1:
         raise ValueError("domain_cap must be >= 1")
+    if segment_dedup_n is not None and segment_dedup_n < 1:
+        raise ValueError("segment_dedup_n must be >= 1")
     if semdedup_tau is not None and not (0.0 < semdedup_tau <= 1.0):
         raise ValueError("semdedup_tau must be in (0, 1]")
     if semdedup_embeddings is not None and semdedup_tau is None:
@@ -846,6 +910,8 @@ def run_curation(
         fp["domain_cap"] = domain_cap
     if remove_spans_min_docs is not None:
         fp["span_removal"] = [remove_spans_min_docs, span_ngram]
+    if segment_dedup_n is not None:
+        fp["segment_dedup"] = segment_dedup_n
     if semdedup_tau is not None:
         # the embedding provider is part of the dataflow identity: the
         # versioned built-in featurization, or the CONTENT of an
@@ -912,6 +978,15 @@ def run_curation(
             ).filter(_nonblank()))
             if remove_spans_min_docs is not None else None,
         ),
+        (
+            "segment_dedup",
+            # keep-first tile dedup rewrites text BEFORE exact dedup
+            # (docs reduced to previously-seen boilerplate empty here)
+            (lambda df: dedup_segments_first(
+                df, n=segment_dedup_n
+            ).filter(_nonblank()))
+            if segment_dedup_n is not None else None,
+        ),
         ("exact_dedup", exact_dedup_survivors),
         ("neardup_prune", neardup_survivors),
         (
@@ -938,21 +1013,35 @@ def run_curation(
         ),
     ]
 
-    # every persisted frame unpersists on ANY exit (round-4 advice:
-    # an exception between persist and the early unpersist leaked the
-    # cached frame for the life of the session); early unpersists
-    # inside the chain still free memory as soon as a successor
-    # materializes — unpersisting twice is a harmless no-op
-    persisted: list[DataFrame] = []
+    # every materialized frame releases on ANY exit (round-4 advice:
+    # an exception between materialize and the early release leaked
+    # the blocks for the life of the session); early releases inside
+    # the chain still free memory as soon as a successor materializes
+    # — releasing twice is a harmless no-op
+    materialized: list[DataFrame] = []
 
     def _materialize(df: DataFrame, prev: DataFrame | None):
-        """persist + count a stage output; drop the predecessor's
-        cache once the successor is fully materialized."""
-        df = df.persist()
-        persisted.append(df)
+        """Eagerly localCheckpoint + count a stage output; release the
+        predecessor's blocks once the successor is materialized.
+
+        Checkpoint, not persist (round-6): persist caches the DATA but
+        keeps the full logical plan, and several stages reference
+        their input more than once (segment dedup joins winners back,
+        semdedup/decon anti-join their own survivors), so the analyzed
+        tree — and the plan-description string the SQL listener builds
+        per execution — MULTIPLIES through the chain; with every stage
+        enabled it OOM'd an 8g driver before the survivors write. The
+        checkpoint truncates lineage at each stage boundary, so every
+        stage plans against a flat LogicalRDD. Cost: within-run
+        recompute-on-executor-loss is gone at stage boundaries — at
+        cluster scale a lost block fails the run, which then re-runs
+        idempotently under the snapshot barrier (recomputing a 12-stage
+        chain from the scan was never a real recovery path at 100 TB)."""
+        df = df.localCheckpoint()  # eager: materialized right here
+        materialized.append(df)
         n = df.count()
         if prev is not None:
-            prev.unpersist()
+            _free_ckpt(prev)
         return df, n
 
     # in-flight sentinel (round-6 advice): makes a concurrent vacuum
@@ -984,8 +1073,8 @@ def run_curation(
                 cur = stamp_split(cur, split_fracs[0], split_fracs[1])
             cur.write.mode("overwrite").parquet(survivors_path)
         finally:
-            for p in persisted:
-                p.unpersist()
+            for p in materialized:
+                _free_ckpt(p)
 
         survivors = spark.read.parquet(survivors_path)
         n_survivors = survivors.count()
@@ -1068,6 +1157,7 @@ def run_curation(
         "n_after_quality_gate": stage_out["quality_gate"],
         "n_after_domain_cap": stage_out["domain_cap"],
         "n_after_span_removal": stage_out["span_removal"],
+        "n_after_segment_dedup": stage_out["segment_dedup"],
         "n_after_exact_dedup": stage_out["exact_dedup"],
         "n_after_neardup": stage_out["neardup_prune"],
         "n_after_semdedup": stage_out["semdedup"],

@@ -1311,3 +1311,107 @@ def semdedup_survivors_min_rep(spark, sf_dir):
         labels.filter(F.col("id") == F.col("component"))
         .select(F.col("id").alias("vec_id"))
     )
+
+
+# --------------------------------------------------------------------------
+# keep-FIRST global segment dedup (C4/CCNet paragraph-dedup analogue)
+# --------------------------------------------------------------------------
+# The other half of substring dedup: remove_common_spans drops EVERY
+# occurrence of a >=K-doc span (RefinedWeb boilerplate strip), while
+# the C4 "three-sentence span" / CCNet paragraph rule KEEPS the first
+# occurrence and drops the rest. The corpus has no paragraph breaks,
+# so the segmentation unit is a non-overlapping _SEG_N-token tile
+# (the same convention chunk_documents uses); "first" is the globally
+# deterministic min (doc_id, s) occurrence.
+#
+# Scale shape: the tile explode is linear; the winner per distinct
+# segment is ONE segment-keyed aggregation of min(struct(doc_id, s))
+# — partially aggregatable, so a web-scale boilerplate segment that
+# appears in 10^9 docs collapses map-side instead of sorting one
+# mega-group in a row_number window; reassembly is a per-doc
+# collect + array_sort (bounded by the doc's own tiles) and one
+# doc-keyed join for the totals. The segment text crosses the shuffle
+# once — unavoidable, the winner must carry it for reassembly.
+
+_SEG_N = 8
+
+
+@register(
+    "dedup_segments_keep_first",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ),
+    seg AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(t), {_SEG_N})) AS s,
+             unnest(list_transform(generate_series(1, len(t), {_SEG_N}),
+                    i -> array_to_string(
+                           t[i:least(i + {_SEG_N} - 1, len(t))], ' ')))
+               AS seg
+      FROM toks WHERE len(t) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, s, seg,
+             row_number() OVER (PARTITION BY seg
+                                ORDER BY doc_id, s) AS rn
+      FROM seg
+    )
+    SELECT doc_id,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN seg END,
+                               ' ' ORDER BY s), '') AS deduped_text
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def dedup_segments_keep_first(spark, sf_dir):
+    """Keep-first occurrence of every distinct token tile; later
+    occurrences (any doc, any position) are dropped and the doc is
+    reassembled from its surviving tiles in order. The oracle's
+    row_number formulation and this aggregation formulation agree
+    because (doc_id, s) is unique: rn == 1 <=> (doc_id, s) ==
+    min(struct(doc_id, s)) over the segment group."""
+    d = _t(spark, sf_dir, "documents")
+    staged = (
+        d.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+        .filter(F.size("t") > 0)
+    )
+    tiles = F.expr(
+        f"transform(sequence(1, size(t), {_SEG_N}), "
+        f"i -> struct(i AS s, concat_ws(' ', slice(t, i, {_SEG_N})) AS seg))"
+    )
+    segs = (
+        staged.select("doc_id", F.explode(tiles).alias("x"))
+        .select("doc_id", F.col("x.s").alias("s"), F.col("x.seg").alias("seg"))
+    )
+    winners = (
+        segs.groupBy("seg")
+        .agg(F.min(F.struct("doc_id", "s")).alias("w"))
+        .select(
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.s").alias("s"),
+            "seg",
+        )
+    )
+    totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_segments"))
+    kept = winners.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("deduped_text"),
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_segments",
+        (F.col("n_segments") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
+    )

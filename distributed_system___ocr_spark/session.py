@@ -76,6 +76,13 @@ def get_spark(
         # run_curation invocation (round-6 OOM in long sessions).
         # Capped, the same loop sawtooths stably around ~2 GB.
         .config("spark.sql.ui.retainedExecutions", "50")
+        # bound each execution's plan-DESCRIPTION string too: the SQL
+        # listener renders the physical plan to text at execution
+        # start, and a deeply composed chain's tree string can reach
+        # GBs before any retention cap applies (round-6 OOM in
+        # generateTreeString). 8 MB keeps .explain() useful and makes
+        # diagnostics memory-bounded regardless of plan depth.
+        .config("spark.sql.maxPlanStringLength", str(8 * 1024 * 1024))
         .config("spark.ui.retainedJobs", "200")
         .config("spark.ui.retainedStages", "200")
         .config("spark.ui.retainedTasks", "10000")

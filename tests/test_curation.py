@@ -505,8 +505,9 @@ def test_temperature_sampling_stage_rebalances(spark, tmp_path):
 
 _ALL_STAGE_NAMES = [
     "input", "quality_gate", "domain_cap", "span_removal",
-    "exact_dedup", "neardup_prune", "semdedup", "decontaminate",
-    "lm_quality", "temperature_sample", "split_stamp", "chunk", "pack",
+    "segment_dedup", "exact_dedup", "neardup_prune", "semdedup",
+    "decontaminate", "lm_quality", "temperature_sample", "split_stamp",
+    "chunk", "pack",
 ]
 
 
@@ -523,6 +524,7 @@ def test_all_stages_compose_in_one_run(spark, tmp_path):
     kwargs = dict(
         quality_min_chars=50, quality_dup_bigram_max=0.8,
         domain_cap=100, remove_spans_min_docs=3,
+        segment_dedup_n=64,  # wide tiles: rewrites only exact-tile dups
         semdedup_tau=0.99, decon_eval=eval_docs,
         lm_quality_drop_z=4.0, sample_alpha=0.5,
         split_fracs=(0.7, 0.15),
@@ -558,6 +560,7 @@ def test_all_stages_compose_in_one_run(spark, tmp_path):
     for delta in (
         {"domain_cap": 5}, {"semdedup_tau": 0.5},
         {"lm_quality_drop_z": 0.1}, {"split_fracs": (0.8, 0.1)},
+        {"segment_dedup_n": 8},
     ):
         info2 = run_curation(
             spark, docs, out, run_id=f"all-{list(delta)[0]}",
@@ -980,3 +983,42 @@ def test_cli_vacuum_curation_mode(spark, tmp_path):
     info = json.loads(res.stdout.strip().splitlines()[-1])
     assert info["vacuumed_snapshot"]["runs"] == ["c2"]
     assert read_curated(spark, out).count() > 0
+
+
+def test_segment_dedup_stage_keeps_first_occurrence(spark, tmp_path):
+    """Keep-first tile dedup inside the pipeline: a later full
+    duplicate empties and drops, a partial duplicate keeps only its
+    novel tiles, the first occurrence survives verbatim; the tile
+    width is fingerprinted."""
+    out = str(tmp_path / "cur")
+    t1 = " ".join(f"alpha{j:02d}" for j in range(8))   # one 8-token tile
+    t2 = " ".join(f"beta{j:02d}" for j in range(8))
+    novel = " ".join(f"gamma{j:02d}" for j in range(8))
+    docs = spark.createDataFrame(pd.DataFrame([
+        # url order defines "first": a.com < b.com < c.com
+        {"url": "https://a.com/1", "text": f"{t1} {t2}", "lang": "en"},
+        {"url": "https://b.com/1", "text": f"{t1} {novel}", "lang": "en"},
+        {"url": "https://c.com/1", "text": f"{t1} {t2}", "lang": "en"},
+    ]))
+    info = run_curation(
+        spark, docs, out, run_id="sd1", segment_dedup_n=8,
+    )
+    surv = {
+        r["url"]: r["text"] for r in read_curated(spark, out).collect()
+    }
+    assert surv["https://a.com/1"] == f"{t1} {t2}"
+    assert surv["https://b.com/1"] == novel
+    assert "https://c.com/1" not in surv
+    assert info["n_after_segment_dedup"] == 2
+    lin = {
+        r["stage"]: (r["n_in"], r["n_out"])
+        for r in spark.read.parquet(info["lineage_path"]).collect()
+    }
+    assert lin["segment_dedup"] == (3, 2)
+    # same width -> no-op resume; different width -> re-curates
+    assert run_curation(
+        spark, docs, out, run_id="sd2", segment_dedup_n=8,
+    ).get("skipped_noop") is True
+    assert "skipped_noop" not in run_curation(
+        spark, docs, out, run_id="sd3", segment_dedup_n=4,
+    )

@@ -641,13 +641,20 @@ def test_connected_components_releases_superseded_blocks(spark):
     )
 
     jsc = spark.sparkContext._jsc.sc()
-    base = len(jsc.getRDDStorageInfo())
+
+    def stored_ids():
+        # id-keyed, not count-keyed: blocks left by EARLIER tests in
+        # the session can be async-released by the ContextCleaner mid-
+        # test, so totals drift; new-id deltas don't (round-6 flake)
+        return {i.id() for i in jsc.getRDDStorageInfo()}
+
+    base = stored_ids()
 
     # _free_ckpt works on the current Spark's plan shape
     ck = spark.createDataFrame(pd.DataFrame({"x": [1, 2]})).localCheckpoint()
-    assert len(jsc.getRDDStorageInfo()) == base + 1
+    assert len(stored_ids() - base) == 1
     _free_ckpt(ck)
-    assert len(jsc.getRDDStorageInfo()) == base
+    assert not (stored_ids() - base)
 
     verts = spark.createDataFrame(pd.DataFrame({"id": list(range(50))}))
     edges = spark.createDataFrame(pd.DataFrame(
@@ -655,6 +662,52 @@ def test_connected_components_releases_superseded_blocks(spark):
     out = connected_components(verts, edges)
     comp = {r["id"]: r["component"] for r in out.collect()}
     assert comp[3] == 0 and comp[12] == 10 and comp[49] == 49
-    # a multi-iteration run leaves exactly one checkpoint (the final
-    # labels) — sym and every superseded round were released
-    assert len(jsc.getRDDStorageInfo()) == base + 1
+    # a multi-iteration run leaves exactly one NEW checkpoint (the
+    # final labels) — sym and every superseded round were released
+    assert len(stored_ids() - base) == 1
+
+
+def test_dedup_segments_keep_first_semantics(spark):
+    """Keep-first gate must fire; every distinct tile survives EXACTLY
+    once corpus-wide, at its global min-(doc_id, s) occurrence; docs
+    with no drops reassemble byte-identically."""
+    from distributed_system___ocr_spark.plans.curationops import (
+        _SEG_N,
+        dedup_segments_keep_first,
+    )
+
+    res = {
+        r["doc_id"]: r
+        for r in dedup_segments_keep_first(spark, SF).collect()
+    }
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+        if r["text"] and r["text"].strip()
+    }
+    assert any(r["n_dropped"] > 0 for r in res.values())
+    assert any(r["n_dropped"] == 0 for r in res.values())
+
+    # independent python reference: first occurrence in (doc_id, s)
+    # order wins, all later occurrences drop
+    first = {}
+    for did in sorted(docs):
+        toks = docs[did]
+        for s in range(0, len(toks), _SEG_N):
+            seg = " ".join(toks[s : s + _SEG_N])
+            first.setdefault(seg, (did, s))
+    for did in sorted(docs):
+        toks = docs[did]
+        tiles = [
+            " ".join(toks[s : s + _SEG_N])
+            for s in range(0, len(toks), _SEG_N)
+        ]
+        kept = [
+            seg
+            for s, seg in zip(range(0, len(toks), _SEG_N), tiles)
+            if first[seg] == (did, s)
+        ]
+        r = res[did]
+        assert r["n_segments"] == len(tiles)
+        assert r["n_dropped"] == len(tiles) - len(kept)
+        assert r["deduped_text"] == " ".join(kept)
