@@ -1037,7 +1037,10 @@ def run_curation(
         cluster scale a lost block fails the run, which then re-runs
         idempotently under the snapshot barrier (recomputing a 12-stage
         chain from the scan was never a real recovery path at 100 TB)."""
-        df = df.localCheckpoint()  # eager: materialized right here
+        # lazy + count: the first action materializes AND checkpoints
+        # in ONE job (eager=True would run a materialize job, then
+        # count() would re-scan all the stored blocks a second time)
+        df = df.localCheckpoint(eager=False)
         materialized.append(df)
         n = df.count()
         if prev is not None:
@@ -1062,7 +1065,7 @@ def run_curation(
             for nm, fn in enabled:
                 cur = fn(cur)
                 if nm != last_enabled:
-                    # persist + count intermediates: each enabled
+                    # checkpoint + count intermediates: each enabled
                     # stage's output feeds both its lineage row and
                     # the successor's (often multi-pass) dataflow
                     cur, measured[nm] = _materialize(cur, prev_cached)
