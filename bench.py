@@ -208,10 +208,11 @@ def bench_curation(spark, tmp: str) -> dict:
     extraction output — the per-round tracked number for the curation
     surface. Round 6 composes EVERY opt-in stage: gate + domain cap +
     span removal + keep-first segment dedup + exact dedup + LSH prune
-    + SemDeDup + decontamination + LM-quality tail drop + temperature
-    sampling + split stamp + chunk + two-phase split-pure pack (the
-    round-5 number covered the round-5 stage set only — see
-    BENCH/BASELINE.md for the discontinuity note). Corpus prep (extract + write) is untimed; the
+    + SemDeDup + decontamination + LM-quality tail drop +
+    cluster-balanced sampling + temperature sampling + split stamp +
+    chunk + two-phase split-pure pack (the round-5 number covered the
+    round-5 stage set only — see BENCH/BASELINE.md for the
+    discontinuity note). Corpus prep (extract + write) is untimed; the
     timed region is ONE run_curation call, fingerprint to snapshot
     commit."""
     import pandas as pd
@@ -247,6 +248,7 @@ def bench_curation(spark, tmp: str) -> dict:
         semdedup_tau=0.92,
         decon_eval=eval_docs,
         lm_quality_drop_z=2.0,
+        cluster_alpha=0.5,
         sample_alpha=0.7,
         split_fracs=(0.9, 0.05),
     )

@@ -114,6 +114,12 @@ def build_parser() -> argparse.ArgumentParser:
         "docs scoring below mu_lang - z*sigma_lang (unigram logprob)",
     )
     p.add_argument(
+        "--cluster-alpha", type=float, default=None,
+        help="switch on cluster-balanced sampling (D4-style "
+        "diversification): temperature-flatten survivors across "
+        "k~sqrt(N) trained embedding cells with this alpha",
+    )
+    p.add_argument(
         "--split", metavar="TRAIN,VAL", default=None,
         help="stamp the deterministic train/val/test split with these "
         "fractions (e.g. 0.8,0.1; test takes the rest); packed bins "
@@ -245,6 +251,7 @@ def main(argv: list[str] | None = None) -> int:
             ),
             decon_ngram=args.decon_ngram,
             lm_quality_drop_z=args.lm_quality_drop_z,
+            cluster_alpha=args.cluster_alpha,
             sample_alpha=args.sample_alpha,
             split_fracs=split_fracs,
         )

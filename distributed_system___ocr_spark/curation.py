@@ -59,6 +59,7 @@ from .operators.components import _free_ckpt, connected_components
 from .operators.neardup import minhash_lsh_pairs_scale
 from .operators.packing import greedy_pack_bins, monotone_hash_bucket
 from .operators.resume import _atomic_write
+from .operators.diversify import CLUSTER_BALANCE_VERSION
 from .operators.semdedup import SEMDEDUP_EMBED_VERSION
 
 _CKPT = "_checkpoint"
@@ -609,6 +610,22 @@ def lm_quality_survivors(docs: DataFrame, drop_z: float) -> DataFrame:
     return docs.join(keep, "url", "left_semi")
 
 
+def cluster_balance_docs(docs: DataFrame, alpha: float) -> DataFrame:
+    """Cluster-balanced sampling stage (D4-style diversification):
+    temperature-flatten the survivors across k ~ sqrt(N) trained
+    embedding cells — the semantic twin of ``temperature_sample``'s
+    per-language rule, sharing the versioned feature-hash
+    featurization with the SemDeDup stage and the stateless md5-bucket
+    acceptance with every sampling stage (deterministic, no RNG).
+    The pipeline twin of the rows-only ``cluster_balanced_sample``
+    registry query (operators/diversify.py holds the kernel)."""
+    from .operators.diversify import cluster_balanced_keep
+
+    return cluster_balanced_keep(docs, alpha).select(
+        "url", "text", "lang"
+    )
+
+
 def stamp_split(
     docs: DataFrame, train_frac: float, val_frac: float
 ) -> DataFrame:
@@ -800,6 +817,7 @@ def run_curation(
     decon_eval: DataFrame | None = None,
     decon_ngram: int = 5,
     lm_quality_drop_z: float | None = None,
+    cluster_alpha: float | None = None,
     sample_alpha: float | None = None,
     split_fracs: tuple[float, float] | None = None,
 ) -> dict:
@@ -832,6 +850,11 @@ def run_curation(
       new eval suite must re-curate);
     - ``lm_quality_drop_z``: CCNet-style LM-quality tail drop (keep
       docs scoring >= mu_lang - z * sigma_lang);
+    - ``cluster_alpha``: cluster-balanced sampling (D4-style
+      diversification) — temperature-flatten the survivors across
+      k ~ sqrt(N) trained embedding cells (built-in versioned
+      feature-hash featurization) toward the uniform per-cell share;
+      cells at or below the share keep 100%;
     - ``sample_alpha``: temperature-based language rebalancing as the
       final doc-level selection before chunking;
     - ``split_fracs`` (train, val): stamp the deterministic
@@ -841,7 +864,8 @@ def run_curation(
 
     Full order: gate -> domain cap -> span removal -> segment dedup ->
     exact dedup -> near-dup prune -> semdedup -> decontaminate ->
-    lm quality -> temperature sample -> split stamp -> chunk -> pack."""
+    lm quality -> cluster balance -> temperature sample ->
+    split stamp -> chunk -> pack."""
     run_id = run_id or uuid.uuid4().hex[:12]
     prev = load_curation_snapshot(out_dir)
     committed = set(prev["runs"]) if prev else set()
@@ -877,6 +901,11 @@ def run_curation(
         )
     if lm_quality_drop_z is not None and lm_quality_drop_z < 0:
         raise ValueError("lm_quality_drop_z must be >= 0")
+    if cluster_alpha is not None and not (0.0 <= cluster_alpha <= 1.0):
+        raise ValueError(
+            "cluster_alpha must be in [0, 1] (0 = flatten fully to "
+            "the uniform cell share, 1 = keep everything)"
+        )
     if split_fracs is not None:
         tr, va = split_fracs
         if not (tr > 0 and va > 0 and tr + va < 1):
@@ -929,6 +958,13 @@ def run_curation(
         fp["decon"] = [decon_ngram, _eval_fingerprint(decon_eval)]
     if lm_quality_drop_z is not None:
         fp["lm_quality"] = lm_quality_drop_z
+    if cluster_alpha is not None:
+        # the featurization and dataflow versions are part of the
+        # identity: a changed embed or train/acceptance rule changes
+        # which docs survive
+        fp["cluster_balance"] = [
+            cluster_alpha, CLUSTER_BALANCE_VERSION, SEMDEDUP_EMBED_VERSION,
+        ]
     if sample_alpha is not None:
         fp["sample_alpha"] = sample_alpha
     if split_fracs is not None:
@@ -1005,6 +1041,11 @@ def run_curation(
             "lm_quality",
             (lambda df: lm_quality_survivors(df, lm_quality_drop_z))
             if lm_quality_drop_z is not None else None,
+        ),
+        (
+            "cluster_balance",
+            (lambda df: cluster_balance_docs(df, cluster_alpha))
+            if cluster_alpha is not None else None,
         ),
         (
             "temperature_sample",
@@ -1166,6 +1207,7 @@ def run_curation(
         "n_after_semdedup": stage_out["semdedup"],
         "n_after_decon": stage_out["decontaminate"],
         "n_after_lm_quality": stage_out["lm_quality"],
+        "n_after_cluster_balance": stage_out["cluster_balance"],
         "n_survivors": n_survivors,
         "n_chunks": n_chunks,
         "n_bins": n_bins,

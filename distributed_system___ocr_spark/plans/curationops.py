@@ -1415,3 +1415,30 @@ def dedup_segments_keep_first(spark, sf_dir):
         .alias("n_dropped"),
         F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# cluster-balanced sampling (D4-style semantic diversification)
+# --------------------------------------------------------------------------
+# Temperature-flatten the corpus across k ~ sqrt(N) TRAINED embedding
+# cells — the semantic analogue of temperature_sampled_corpus's
+# per-language rebalancing: dominant semantic clusters (template
+# farms, one-topic crawls) downsample toward the uniform per-cell
+# share t = N/k at rate min(1, (t/n_c)^(1-alpha)); cells at or below
+# the share keep 100%. Rows-only like semdedup_pairs (the
+# iterative k-means train has no SQL oracle); determinism, the
+# smallest-cell-keeps-all rule and the flattening property are pinned
+# by tests/test_curationops.py invariants. Scale shape: embed scan +
+# bounded-sample train + assignment scan + ONE k-sized aggregate +
+# broadcast md5-bucket acceptance — nothing pairwise.
+
+
+@register("cluster_balanced_sample", None)
+def cluster_balanced_sample(spark, sf_dir):
+    from ..operators.diversify import cluster_balanced_keep
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    kept = cluster_balanced_keep(
+        d, alpha=0.5, id_col="doc_id", text_col="text"
+    )
+    return kept.select("doc_id", "cell", "lang")

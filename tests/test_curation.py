@@ -506,8 +506,8 @@ def test_temperature_sampling_stage_rebalances(spark, tmp_path):
 _ALL_STAGE_NAMES = [
     "input", "quality_gate", "domain_cap", "span_removal",
     "segment_dedup", "exact_dedup", "neardup_prune", "semdedup",
-    "decontaminate", "lm_quality", "temperature_sample", "split_stamp",
-    "chunk", "pack",
+    "decontaminate", "lm_quality", "cluster_balance",
+    "temperature_sample", "split_stamp", "chunk", "pack",
 ]
 
 
@@ -526,7 +526,7 @@ def test_all_stages_compose_in_one_run(spark, tmp_path):
         domain_cap=100, remove_spans_min_docs=3,
         segment_dedup_n=64,  # wide tiles: rewrites only exact-tile dups
         semdedup_tau=0.99, decon_eval=eval_docs,
-        lm_quality_drop_z=4.0, sample_alpha=0.5,
+        lm_quality_drop_z=4.0, cluster_alpha=0.95, sample_alpha=0.5,
         split_fracs=(0.7, 0.15),
     )
     info = run_curation(spark, docs, out, run_id="all1", **kwargs)
@@ -560,7 +560,7 @@ def test_all_stages_compose_in_one_run(spark, tmp_path):
     for delta in (
         {"domain_cap": 5}, {"semdedup_tau": 0.5},
         {"lm_quality_drop_z": 0.1}, {"split_fracs": (0.8, 0.1)},
-        {"segment_dedup_n": 8},
+        {"segment_dedup_n": 8}, {"cluster_alpha": 0.4},
     ):
         info2 = run_curation(
             spark, docs, out, run_id=f"all-{list(delta)[0]}",
@@ -1022,3 +1022,31 @@ def test_segment_dedup_stage_keeps_first_occurrence(spark, tmp_path):
     assert "skipped_noop" not in run_curation(
         spark, docs, out, run_id="sd3", segment_dedup_n=4,
     )
+
+
+def test_cluster_balance_stage_drops_and_records_lineage(spark, tmp_path):
+    """Cluster-balanced sampling inside the pipeline: the stage fires
+    (some dominant-cell docs drop), lineage records the drop, alpha is
+    fingerprinted (same alpha -> no-op resume; the all-stages test's
+    delta loop covers re-curation on change), and the keep-set is
+    deterministic across a fresh run into a fresh dir."""
+    out = str(tmp_path / "cur")
+    docs = _docs(spark, n=40)
+    info = run_curation(spark, docs, out, run_id="cb1", cluster_alpha=0.5)
+    assert info["n_after_cluster_balance"] < info["n_after_lm_quality"]
+    assert info["n_after_cluster_balance"] == info["n_survivors"]
+    lin = {
+        r["stage"]: (r["n_in"], r["n_out"])
+        for r in spark.read.parquet(info["lineage_path"]).collect()
+    }
+    assert lin["cluster_balance"] == (
+        info["n_after_lm_quality"], info["n_survivors"]
+    )
+    surv1 = {r["url"] for r in read_curated(spark, out).collect()}
+    assert run_curation(
+        spark, docs, out, run_id="cb2", cluster_alpha=0.5
+    ).get("skipped_noop") is True
+    out2 = str(tmp_path / "cur2")
+    run_curation(spark, docs, out2, run_id="cb3", cluster_alpha=0.5)
+    surv2 = {r["url"] for r in read_curated(spark, out2).collect()}
+    assert surv1 == surv2

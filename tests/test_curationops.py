@@ -711,3 +711,46 @@ def test_dedup_segments_keep_first_semantics(spark):
         assert r["n_segments"] == len(tiles)
         assert r["n_dropped"] == len(tiles) - len(kept)
         assert r["deduped_text"] == " ".join(kept)
+
+
+def test_cluster_balanced_sample_flattens_and_keeps_smallest(spark):
+    """D4-style diversification invariants on a crafted 2-cluster
+    corpus (k fixed at 2): a cell at or below the uniform target
+    keeps 100%, the dominant cell downsamples at ~(t/n_c)^(1-alpha),
+    the kept-set is deterministic, and the post-sample cell ratio is
+    flatter than the input ratio."""
+    import pandas as pd
+
+    from distributed_system___ocr_spark.operators.diversify import (
+        cluster_balanced_keep,
+    )
+
+    rows = []
+    for i in range(360):  # dominant topic: vocab A
+        body = " ".join(f"alpha{(i + j) % 13:02d}" for j in range(30))
+        rows.append({"url": f"https://big.com/{i:04d}", "text": body,
+                     "lang": "en"})
+    for i in range(40):   # minority topic: vocab B (disjoint tokens)
+        body = " ".join(f"beta{(i + j) % 13:02d}" for j in range(30))
+        rows.append({"url": f"https://small.com/{i:04d}", "text": body,
+                     "lang": "en"})
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    kept1 = {
+        r["url"] for r in
+        cluster_balanced_keep(docs, alpha=0.5, k=2).collect()
+    }
+    kept2 = {
+        r["url"] for r in
+        cluster_balanced_keep(docs, alpha=0.5, k=2).collect()
+    }
+    assert kept1 == kept2  # stateless md5 acceptance, no RNG
+    small = {u for u in kept1 if u.startswith("https://small.com")}
+    big = {u for u in kept1 if u.startswith("https://big.com")}
+    # below the uniform target t = 400/2 = 200: keeps 100%
+    assert len(small) == 40
+    # dominant cell rate (200/360)^(1-0.5) = 0.745 -> ~268 of 360;
+    # the md5 bucket is deterministic, bounds allow its binomial-like
+    # spread
+    assert 230 <= len(big) <= 305
+    # flatter than the 9:1 input ratio
+    assert len(big) / len(small) < 8
