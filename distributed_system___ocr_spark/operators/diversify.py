@@ -29,7 +29,10 @@ from ..functions.vectors import ivf_cell_udf
 
 # version of the cell-balance dataflow (train/assign/acceptance):
 # part of the curation resume fingerprint alongside the embed version
-CLUSTER_BALANCE_VERSION = 1
+# v2: acceptance bucket gained the "cluster_balance:" salt (stacked
+# rate filters on one unsalted bucket compose as min, not product) and
+# unembedded docs keep 100% with a NULL cell under supplied embeddings
+CLUSTER_BALANCE_VERSION = 2
 
 
 def cluster_balanced_keep(
@@ -50,12 +53,24 @@ def cluster_balanced_keep(
     (n_l/n_min)^(alpha-1) rule temperature_sample uses: with
     k ~ sqrt(N) cells a single-doc outlier cell would set n_min=1 and
     nuke the whole corpus; anchoring to the uniform share instead of
-    the minimum is robust to singleton cells.) Selection is the
-    engine's stateless md5-bucket filter on the id (integer threshold
+    the minimum is robust to singleton cells.) Selection is a
+    stateless SALTED md5-bucket filter on the id (integer threshold
     rate * 10^6), so the keep-set is deterministic — no RNG, identical
-    on rerun/resume.
+    on rerun/resume. The salt matters: stacked rate filters on the
+    SAME bucket compose as min(r1, r2) instead of r1*r2 (a doc
+    surviving a 0.5-rate cell filter has bucket < 500k by
+    construction, so a downstream unsalted 0.7-rate language filter
+    keeps ALL of it) — each sampling/stamping stage in a chain must
+    draw from an independent bucket.
 
-    Output: the surviving ``docs`` rows plus their ``cell``.
+    Caller-supplied ``embeddings`` contract: docs WITHOUT an embedding
+    row cannot be assigned a cell and keep 100% (cell NULL) — the same
+    never-dropped-for-being-unembedded behavior as
+    semdedup_survivors; embedding ids absent from ``docs`` count
+    toward n and the uniform target, so supply a covering frame.
+
+    Output: the surviving ``docs`` rows plus their ``cell``
+    (nullable long).
     """
     if embeddings is None:
         emb = feature_hash_embed(docs, id_col=id_col, text_col=text_col)
@@ -66,12 +81,16 @@ def cluster_balanced_keep(
         )
     n = emb.count()
     if n == 0:
-        return docs.withColumn("cell", F.lit(0))
+        # nothing to balance: keep everything, unassigned
+        return docs.withColumn("cell", F.lit(None).cast("long"))
     kk = k if k is not None else semdedup_k(n)
     cents = kmeans_train(emb, k=kk, iters=3, vec_col="v", id_col="_id")
+    # checkpoint the narrow (id, cell) frame: it feeds BOTH the
+    # per-cell counts and the final join, and the embed UDF would
+    # otherwise re-run the full corpus scan once per subtree
     assigned = emb.select(
         F.col("_id"), ivf_cell_udf(cents)(F.col("v")).alias("cell")
-    )
+    ).localCheckpoint()
     # k-sized (<= 65536 rows): a bounded reducing aggregate, safe to
     # broadcast statically at any corpus size
     counts = assigned.groupBy("cell").agg(F.count("*").alias("_n"))
@@ -85,19 +104,28 @@ def cluster_balanced_keep(
             ) * 1_000_000, 0
         ).cast("long").alias("_keep_thresh"),
     )
-    # .cast("string") first: a no-op for string ids (same bucket as
-    # temperature_sample) and the ANSI-legal route for numeric ids
-    # (BIGINT -> BINARY throws under ANSI mode)
+    # .cast("string") unifies string and numeric ids (BIGINT -> BINARY
+    # throws under ANSI mode); the stage-unique salt decorrelates this
+    # filter from every other md5-bucket stage in a composed chain
     bucket = (
         F.conv(
             F.substring(
-                F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8
+                F.md5(
+                    F.concat(
+                        F.lit("cluster_balance:"),
+                        F.col(id_col).cast("string"),
+                    ).cast("binary")
+                ), 1, 8
             ), 16, 10
         ).cast("long") % 1_000_000
     )
     return (
-        docs.join(assigned.withColumnRenamed("_id", id_col), id_col)
-        .join(F.broadcast(rates), "cell")
-        .filter(bucket < F.col("_keep_thresh"))
+        docs.join(
+            assigned.withColumnRenamed("_id", id_col), id_col, "left"
+        )
+        .join(F.broadcast(rates), "cell", "left")
+        .filter(
+            bucket < F.coalesce(F.col("_keep_thresh"), F.lit(1_000_000))
+        )
         .drop("_keep_thresh")
     )

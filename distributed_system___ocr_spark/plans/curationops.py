@@ -1207,14 +1207,20 @@ _SPLIT_VAL = 900_000    # [800k, 900k) -> 10% val; rest -> 10% test
     "train_val_test_split",
     f"""
     SELECT doc_id, lang,
-           CASE WHEN {_DUCK_BUCKET1M} < {_SPLIT_TRAIN} THEN 'train'
-                WHEN {_DUCK_BUCKET1M} < {_SPLIT_VAL} THEN 'val'
+           CASE WHEN {_duck_bucket(1_000_000, "split:")} < {_SPLIT_TRAIN}
+                  THEN 'train'
+                WHEN {_duck_bucket(1_000_000, "split:")} < {_SPLIT_VAL}
+                  THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
     """,
 )
 def train_val_test_split(spark, sf_dir):
-    b = _spark_bucket1m()
+    # "split:"-salted bucket: the stamp must be INDEPENDENT of every
+    # sampling stage's acceptance bucket, or val/test would be drawn
+    # only from strata whose keep-rate threshold exceeds the train
+    # fraction (the round-6 cluster-balance review finding)
+    b = _spark_bucket(1_000_000, "split:")
     return _t(spark, sf_dir, "documents").select(
         "doc_id", "lang",
         F.when(b < _SPLIT_TRAIN, "train")

@@ -23,19 +23,27 @@ from .queries import _t, register
 
 # hash bucket in [0, mod): same md5-hex arithmetic both engines —
 # single-sourced so the two implementations cannot drift apart
-def _duck_bucket(mod: int) -> str:
+def _duck_bucket(mod: int, salt: str = "") -> str:
+    """Optional ``salt`` prefixes the hashed key. Stages/queries whose
+    rate filters can STACK in one dataflow must salt uniquely: two
+    filters on the same bucket compose as min(r1, r2), not r1*r2 (a
+    doc surviving a 0.5-rate filter has bucket < 500k by
+    construction, so an unsalted downstream 0.7-rate filter keeps all
+    of it) — the round-6 cluster-balance review finding."""
+    pre = f"'{salt}' || " if salt else ""
     return (
-        "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        f"(('0x' || substring(md5({pre}CAST(doc_id AS VARCHAR)), 1, 8))"
         f"::BIGINT % {int(mod)})"
     )
 
 
-def _spark_bucket(mod: int):
+def _spark_bucket(mod: int, salt: str = ""):
+    key = F.col("doc_id").cast("string")
+    if salt:
+        key = F.concat(F.lit(salt), key)
     return (
         F.conv(
-            F.substring(
-                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
-            ),
+            F.substring(F.md5(key.cast("binary")), 1, 8),
             16, 10,
         ).cast("long") % int(mod)
     )

@@ -754,3 +754,44 @@ def test_cluster_balanced_sample_flattens_and_keeps_smallest(spark):
     assert 230 <= len(big) <= 305
     # flatter than the 9:1 input ratio
     assert len(big) / len(small) < 8
+
+
+def test_cluster_balance_bucket_independent_of_unsalted_bucket(spark):
+    """Round-6 review finding: stacked rate filters on ONE bucket
+    compose as min, not product. The cluster acceptance bucket is
+    salted, so survivors of a downsampled cell must still SPAN the
+    unsalted bucket space (under the old shared bucket, every
+    survivor of a rate-r cell had unsalted bucket < r*1e6 by
+    construction — a downstream unsalted filter or split stamp then
+    saw a fully-correlated population)."""
+    import hashlib
+
+    import pandas as pd
+
+    from distributed_system___ocr_spark.operators.diversify import (
+        cluster_balanced_keep,
+    )
+
+    rows = []
+    for i in range(360):
+        body = " ".join(f"alpha{(i + j) % 13:02d}" for j in range(30))
+        rows.append({"url": f"https://big.com/{i:04d}", "text": body,
+                     "lang": "en"})
+    for i in range(40):
+        body = " ".join(f"beta{(i + j) % 13:02d}" for j in range(30))
+        rows.append({"url": f"https://small.com/{i:04d}", "text": body,
+                     "lang": "en"})
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    kept_big = [
+        r["url"]
+        for r in cluster_balanced_keep(docs, alpha=0.5, k=2).collect()
+        if r["url"].startswith("https://big.com")
+    ]
+    # big-cell rate is (200/360)^0.5 = 0.745 -> threshold 745k; the
+    # UNSALTED buckets of its survivors must exceed that (the old
+    # shared-bucket code made this structurally impossible)
+    unsalted = [
+        int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % 1_000_000
+        for u in kept_big
+    ]
+    assert sum(1 for b in unsalted if b >= 745_000) >= 10
