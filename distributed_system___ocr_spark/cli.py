@@ -74,6 +74,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-stride", type=int, default=1792)
     p.add_argument("--pack-target", type=int, default=8192)
     p.add_argument(
+        "--blocked-domains", default=None,
+        help="switch on the URL blocklist (first cut): a "
+        "comma-separated domain list, or a parquet path (first "
+        "column = domain) for a curated blocklist at scale; drops "
+        "docs from those domains or any subdomain",
+    )
+    p.add_argument(
         "--quality-min-chars", type=int, default=None,
         help="switch on the curation quality gate: drop docs shorter "
         "than this (and failing the repetition cut) before dedup",
@@ -230,6 +237,14 @@ def main(argv: list[str] | None = None) -> int:
             chunk_size=args.chunk_size,
             chunk_stride=args.chunk_stride,
             pack_target=args.pack_target,
+            blocked_domains=(
+                spark.read.parquet(args.blocked_domains)
+                if args.blocked_domains
+                and (os.path.isdir(args.blocked_domains)
+                     or args.blocked_domains.endswith(".parquet"))
+                else args.blocked_domains.split(",")
+                if args.blocked_domains else None
+            ),
             quality_min_chars=args.quality_min_chars,
             quality_max_chars=args.quality_max_chars,
             quality_dup_bigram_max=(

@@ -61,6 +61,7 @@ from .operators.packing import greedy_pack_bins, monotone_hash_bucket
 from .operators.resume import _atomic_write
 from .operators.diversify import CLUSTER_BALANCE_VERSION
 from .operators.semdedup import SEMDEDUP_EMBED_VERSION
+from .operators.urlfilter import URL_FILTER_VERSION, filter_blocked_domains
 
 _CKPT = "_checkpoint"
 
@@ -72,8 +73,11 @@ _CKPT = "_checkpoint"
 # silent upgrade). v2: pack order became hash-bucket-major for the
 # two-phase prefix sum. v3: monotone_hash_bucket became exact integer
 # shiftright (round-6 advice — boundary keys could float-round into
-# the adjacent bucket, shifting pack order).
-CURATION_DATAFLOW_VERSION = 3
+# the adjacent bucket, shifting pack order). v4: the split stamp's
+# bucket gained the "split:" salt (stacked decisions on one unsalted
+# bucket correlate — val/test were drawn only from strata whose
+# sampling keep-threshold exceeded the train fraction).
+CURATION_DATAFLOW_VERSION = 4
 
 
 def _ckpt(out_dir: str) -> str:
@@ -615,9 +619,11 @@ def cluster_balance_docs(docs: DataFrame, alpha: float) -> DataFrame:
     temperature-flatten the survivors across k ~ sqrt(N) trained
     embedding cells — the semantic twin of ``temperature_sample``'s
     per-language rule, sharing the versioned feature-hash
-    featurization with the SemDeDup stage and the stateless md5-bucket
-    acceptance with every sampling stage (deterministic, no RNG).
-    The pipeline twin of the rows-only ``cluster_balanced_sample``
+    featurization with the SemDeDup stage. Its acceptance bucket is
+    "cluster_balance:"-salted so the decision is INDEPENDENT of the
+    downstream temperature-sampling and split-stamp buckets (stacked
+    rate filters on one bucket compose as min, not product). The
+    pipeline twin of the rows-only ``cluster_balanced_sample``
     registry query (operators/diversify.py holds the kernel)."""
     from .operators.diversify import cluster_balanced_keep
 
@@ -634,12 +640,22 @@ def stamp_split(
     query, keyed on url: a stateless scan-stage md5 bucket, so a
     document's split never changes when the corpus grows or the job
     resumes (the property that keeps eval sets uncontaminated across
-    corpus refreshes)."""
+    corpus refreshes). The bucket is "split:"-SALTED: the survivors
+    reaching this stamp already passed the sampling stages' acceptance
+    buckets, and an unsalted stamp on the same key would draw val/test
+    only from strata whose keep threshold exceeds the train fraction
+    (the round-6 cluster-balance review finding — stacked decisions on
+    one bucket are correlated, not independent)."""
     t1 = int(round(train_frac * 1_000_000))
     t2 = t1 + int(round(val_frac * 1_000_000))
     bucket = (
         F.conv(
-            F.substring(F.md5(F.col("url").cast("binary")), 1, 8), 16, 10
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("split:"), F.col("url"))
+                    .cast("binary")
+                ), 1, 8
+            ), 16, 10
         ).cast("long") % 1_000_000
     )
     return docs.withColumn(
@@ -797,6 +813,19 @@ def _embeddings_fingerprint(emb: DataFrame) -> dict:
     return {"n_vecs": row["n"], "content_sum": str(row["h"])}
 
 
+def _blocklist_fingerprint(blocked: DataFrame) -> dict:
+    """Order-independent content identity of a DataFrame blocklist
+    (first column = domain), hashed over the NORMALIZED domain (the
+    form the filter matches on), so spelling-only edits that cannot
+    change the output don't force a re-curate."""
+    dom = F.lower(F.regexp_replace(F.col(blocked.columns[0]), r"^\.", ""))
+    row = blocked.select(dom.alias("d")).distinct().agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64(F.col("d")).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return {"n_domains": row["n"], "content_sum": str(row["h"])}
+
+
 def run_curation(
     spark: SparkSession,
     docs: DataFrame,
@@ -805,6 +834,7 @@ def run_curation(
     chunk_size: int = 2048,
     chunk_stride: int = 1792,
     pack_target: int = 8192,
+    blocked_domains: list | DataFrame | None = None,
     quality_min_chars: int | None = None,
     quality_max_chars: int | None = None,
     quality_dup_bigram_max: float = 0.05,
@@ -829,6 +859,12 @@ def run_curation(
     any of them re-curates rather than falsely no-op-resuming —
     round-3/4/5 lesson, now covering the round-5 additions too):
 
+    - ``blocked_domains``: C4/RefinedWeb-style URL blocklist as the
+      FIRST cut — a doc from a blocked domain (or any subdomain,
+      label-boundary matched) drops before any text is read; a
+      ``list[str]`` runs as a scan-stage literal filter, a DataFrame
+      blocklist anti-joins at scale (its normalized CONTENT enters
+      the fingerprint);
     - ``quality_min_chars``: length bounds + Gopher repetition cut
       ahead of dedup;
     - ``domain_cap``: C4-style per-url-host quota right after the
@@ -862,10 +898,10 @@ def run_curation(
       packed bins — bins are split-pure (pack partitions by
       (lang, split)).
 
-    Full order: gate -> domain cap -> span removal -> segment dedup ->
-    exact dedup -> near-dup prune -> semdedup -> decontaminate ->
-    lm quality -> cluster balance -> temperature sample ->
-    split stamp -> chunk -> pack."""
+    Full order: url blocklist -> gate -> domain cap -> span removal ->
+    segment dedup -> exact dedup -> near-dup prune -> semdedup ->
+    decontaminate -> lm quality -> cluster balance ->
+    temperature sample -> split stamp -> chunk -> pack."""
     run_id = run_id or uuid.uuid4().hex[:12]
     prev = load_curation_snapshot(out_dir)
     committed = set(prev["runs"]) if prev else set()
@@ -931,6 +967,23 @@ def run_curation(
         CURATION_DATAFLOW_VERSION, TOKEN_HASH_VERSION, N_HASHES, BAND_SIZE,
     ]
     fp["config"] = [chunk_size, chunk_stride, pack_target]
+    if blocked_domains is not None:
+        if isinstance(blocked_domains, DataFrame):
+            # the blocklist's CONTENT is an input: a grown list must
+            # re-curate, not falsely no-op-resume
+            fp["url_blocklist"] = [
+                URL_FILTER_VERSION,
+                ["external", _blocklist_fingerprint(blocked_domains)],
+            ]
+        else:
+            doms = sorted(
+                {d.lower().lstrip(".") for d in blocked_domains if d}
+            )
+            # an empty list blocks nothing: disable the stage so it
+            # doesn't enter the fingerprint (same output either way)
+            blocked_domains = doms or None
+            if doms:
+                fp["url_blocklist"] = [URL_FILTER_VERSION, doms]
     if quality_min_chars is not None:
         fp["quality_gate"] = [
             quality_min_chars, quality_max_chars, quality_dup_bigram_max,
@@ -990,6 +1043,13 @@ def run_curation(
     # the opt-in stage is disabled and passes its input through (its
     # lineage row records n_in == n_out)
     stage_defs: list[tuple[str, object]] = [
+        (
+            "url_blocklist",
+            # first cut: provenance-only, reads no text — at 100 TB
+            # every downstream stage's input shrinks by the block rate
+            (lambda df: filter_blocked_domains(df, blocked_domains))
+            if blocked_domains is not None else None,
+        ),
         (
             "quality_gate",
             (lambda df: quality_gate(
@@ -1198,6 +1258,7 @@ def run_curation(
         "snapshot": snap,
         "n_raw_input": n_raw,
         "n_input": n_input,
+        "n_after_url_blocklist": stage_out["url_blocklist"],
         "n_after_quality_gate": stage_out["quality_gate"],
         "n_after_domain_cap": stage_out["domain_cap"],
         "n_after_span_removal": stage_out["span_removal"],

@@ -572,9 +572,13 @@ def pack_docs_greedy_split(spark, sf_dir):
     from ..operators.packing import N_PACK_BUCKETS, greedy_pack_bins
     from .textops2 import _spark_bucket
 
+    # same "split:"-salted bucket as train_val_test_split, so both
+    # queries agree on every doc's split (and the stamp stays
+    # independent of sampling-stage acceptance buckets)
     split = (
-        F.when(_spark_bucket(1_000_000) < _PACK_SPLIT_TRAIN, "train")
-        .when(_spark_bucket(1_000_000) < _PACK_SPLIT_VAL, "val")
+        F.when(_spark_bucket(1_000_000, "split:") < _PACK_SPLIT_TRAIN,
+               "train")
+        .when(_spark_bucket(1_000_000, "split:") < _PACK_SPLIT_VAL, "val")
         .otherwise("test")
     )
     d = _t(spark, sf_dir, "documents").select(
@@ -607,8 +611,63 @@ def _pack_split_patch_sql() -> None:
 
     REGISTRY["pack_docs_greedy_split"]["sql"] = (
         REGISTRY["pack_docs_greedy_split"]["sql"]
-        .replace("{bucket}", _duck_bucket(1_000_000))
+        .replace("{bucket}", _duck_bucket(1_000_000, "split:"))
     )
 
 
 _pack_split_patch_sql()
+
+
+# --------------------------------------------------------------------------
+# URL / domain blocklist filter (C4- / RefinedWeb-style)
+# --------------------------------------------------------------------------
+# The oracle tables carry no url column, so a deterministic url is
+# constructed per doc on BOTH engines (same device as
+# canonicalize_urls); the blocklist matcher is the reusable operator
+# surface (operators/urlfilter.py). The fixture list exercises every
+# match mode: "src1.example.com" hits www.src1.example.com via the
+# subdomain suffix but must NOT hit www.src10..19.example.com
+# (label boundary); "www.src7.example.com" is an exact-host hit;
+# "ample.com" must hit nothing (no '.ample.com' boundary exists).
+
+_BLOCKED_DOMAINS = ["src1.example.com", "www.src7.example.com", "ample.com"]
+
+
+@register(
+    "url_host_blocklist",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             'www.' || source || '.example.com' AS host
+      FROM documents
+    )
+    SELECT doc_id, lang, host
+    FROM d
+    WHERE NOT (host = 'src1.example.com'
+               OR host LIKE '%.src1.example.com'
+               OR host = 'www.src7.example.com'
+               OR host LIKE '%.www.src7.example.com'
+               OR host = 'ample.com'
+               OR host LIKE '%.ample.com')
+    """,
+)
+def url_host_blocklist(spark, sf_dir):
+    """Scan-stage literal-blocklist path: label-suffix array vs a
+    literal domain array via arrays_overlap — zero shuffles, zero
+    joins, fully codegen'd (the DataFrame-blocklist anti-join scale
+    path is exercised by pytest against this same fixture)."""
+    from ..operators.urlfilter import filter_blocked_domains, host_of
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.concat(
+            F.lit("https://www."), F.col("source"),
+            F.lit(".example.com/page"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return (
+        filter_blocked_domains(d, _BLOCKED_DOMAINS)
+        .select(
+            "doc_id", "lang", host_of(F.col("url")).alias("host")
+        )
+    )

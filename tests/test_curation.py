@@ -327,7 +327,8 @@ def test_cli_curate_runs_extract_then_curation(spark, tmp_path):
     _run_cli("--synthetic", "400", "--output", ex_out, "--run-id", "e1",
              "--no-manifest")
     info = _run_cli("--curate", "--input", ex_out, "--output", cur_out,
-                    "--run-id", "c1", "--export-jsonl", jsonl_out)
+                    "--run-id", "c1", "--export-jsonl", jsonl_out,
+                    "--blocked-domains", "host00.example.com,nosuch.org")
     assert info["n_survivors"] > 0
     assert info["n_chunks"] >= info["n_survivors"]
     assert info["wall_sec"] > 0
@@ -344,6 +345,12 @@ def test_cli_curate_runs_extract_then_curation(spark, tmp_path):
     assert lin["input"]["n_in"] == info["n_raw_input"]
     assert lin["input"]["n_out"] == info["n_input"]
     assert info["n_raw_input"] >= info["n_input"]
+    # the --blocked-domains flag reached the composed stage: host00
+    # docs dropped at the first cut, none survive
+    assert lin["url_blocklist"]["n_in"] > lin["url_blocklist"]["n_out"]
+    assert got.filter(
+        F.col("url").contains("host00.example.com")
+    ).count() == 0
 
 
 # --------------------------------------------------------------------------
@@ -748,9 +755,11 @@ def test_lm_quality_stage_drops_low_quality_tail(spark, tmp_path):
 
 def test_split_stage_stamps_deterministic_split(spark, tmp_path):
     """The split column must be the documented pure function of the
-    url (md5 bucket of 1M against the fraction thresholds) — verified
-    against an independent Python md5 computation — and ride chunks
-    and packed bins; fractions are fingerprinted."""
+    url ("split:"-salted md5 bucket of 1M against the fraction
+    thresholds — salted so the stamp is independent of every sampling
+    stage's acceptance bucket) — verified against an independent
+    Python md5 computation — and ride chunks and packed bins;
+    fractions are fingerprinted."""
     import hashlib
 
     out = str(tmp_path / "cur")
@@ -762,7 +771,9 @@ def test_split_stage_stamps_deterministic_split(spark, tmp_path):
            for r in read_curated(spark, out).collect()}
     assert got
     for url, split in got.items():
-        b = int(hashlib.md5(url.encode()).hexdigest()[:8], 16) % 1_000_000
+        b = int(
+            hashlib.md5(f"split:{url}".encode()).hexdigest()[:8], 16
+        ) % 1_000_000
         want = ("train" if b < 600_000
                 else "val" if b < 800_000 else "test")
         assert split == want, (url, b)
@@ -1050,3 +1061,95 @@ def test_cluster_balance_stage_drops_and_records_lineage(spark, tmp_path):
     run_curation(spark, docs, out2, run_id="cb3", cluster_alpha=0.5)
     surv2 = {r["url"] for r in read_curated(spark, out2).collect()}
     assert surv1 == surv2
+
+
+def test_split_stamp_independent_of_sampling_bucket(spark, tmp_path):
+    """Round-6 review finding: the split stamp's bucket is salted, so
+    a survivor population pre-filtered by an UNSALTED acceptance
+    bucket (what any sampling stage's survivors look like) still
+    receives val/test at the configured fractions. Under a shared
+    bucket, survivors with bucket < 300k could never reach the
+    val/test thresholds at (0.8, 0.1) and val+test would be EMPTY."""
+    import hashlib
+
+    from distributed_system___ocr_spark.curation import stamp_split
+
+    rows = [
+        {"url": f"https://ex.com/{i:05d}", "text": "x", "lang": "en"}
+        for i in range(5000)
+        if int(hashlib.md5(f"https://ex.com/{i:05d}".encode())
+               .hexdigest()[:8], 16) % 1_000_000 < 300_000
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    stamped = stamp_split(docs, 0.8, 0.1).groupBy("split").count()
+    by = {r["split"]: r["count"] for r in stamped.collect()}
+    n = sum(by.values())
+    assert n == len(rows) and n > 1000
+    assert by.get("val", 0) > 0 and by.get("test", 0) > 0
+    # ~10% each, wide deterministic bounds
+    assert 0.05 < by["val"] / n < 0.15
+    assert 0.05 < by["test"] / n < 0.15
+
+
+def test_url_blocklist_stage_drops_blocked_domains(spark, tmp_path):
+    """Composed url_blocklist stage: docs from a blocked domain (or
+    subdomain) drop as the FIRST cut, lineage records it, the
+    normalized blocklist is fingerprinted (reordered/respelled lists
+    no-op-resume, a grown list re-curates), and a DataFrame blocklist
+    fingerprints by CONTENT."""
+    out = str(tmp_path / "cur")
+    docs = _docs(spark, n=24)  # ex.com + every-8th mirror.com clones
+    info = run_curation(
+        spark, docs, out, run_id="b1",
+        blocked_domains=["mirror.com"],
+    )
+    survivors = {r["url"] for r in read_curated(spark, out).collect()}
+    assert survivors and not any("mirror.com" in u for u in survivors)
+    lin = {
+        r["stage"]: (r["n_in"], r["n_out"])
+        for r in spark.read.parquet(info["lineage_path"]).collect()
+    }
+    assert lin["url_blocklist"][0] - lin["url_blocklist"][1] == 3
+    assert info["n_after_url_blocklist"] == lin["url_blocklist"][1]
+    # respelled same-content list -> no-op resume
+    assert run_curation(
+        spark, docs, out, run_id="b2",
+        blocked_domains=[".MIRROR.com", "mirror.com"],
+    ).get("skipped_noop") is True
+    # grown list -> re-curates
+    assert "skipped_noop" not in run_curation(
+        spark, docs, out, run_id="b3",
+        blocked_domains=["mirror.com", "ex.com"],
+    )
+
+
+def test_url_blocklist_stage_dataframe_content_fingerprint(
+    spark, tmp_path
+):
+    out = str(tmp_path / "cur")
+    docs = _docs(spark, n=16)
+    bl = spark.createDataFrame(pd.DataFrame({"domain": ["mirror.com"]}))
+    run_curation(spark, docs, out, run_id="d1", blocked_domains=bl)
+    survivors = {r["url"] for r in read_curated(spark, out).collect()}
+    assert survivors and not any("mirror.com" in u for u in survivors)
+    # same content, different row order/spelling -> no-op resume
+    bl2 = spark.createDataFrame(
+        pd.DataFrame({"domain": [".Mirror.COM", "mirror.com"]})
+    )
+    assert run_curation(
+        spark, docs, out, run_id="d2", blocked_domains=bl2,
+    ).get("skipped_noop") is True
+    # changed content -> re-curates; DataFrame and list agree
+    bl3 = spark.createDataFrame(
+        pd.DataFrame({"domain": ["mirror.com", "nosuch.org"]})
+    )
+    info3 = run_curation(
+        spark, docs, out, run_id="d3", blocked_domains=bl3,
+    )
+    assert "skipped_noop" not in info3
+    # an empty-after-normalization list disables the stage entirely
+    out2 = str(tmp_path / "cur2")
+    info0 = run_curation(
+        spark, docs, out2, run_id="e1", blocked_domains=[],
+    )
+    assert info0["n_after_url_blocklist"] == info0["n_input"]
