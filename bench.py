@@ -206,7 +206,8 @@ def bench_dedup_scale(spark, tmp: str) -> list[dict]:
 def bench_curation(spark, tmp: str) -> dict:
     """Composed curation end-to-end over the 200k-page corpus's
     extraction output — the per-round tracked number for the curation
-    surface. Round 6 composes EVERY opt-in stage: gate + domain cap +
+    surface. Round 6 composes EVERY opt-in stage: URL blocklist +
+    gate + domain cap +
     span removal + keep-first segment dedup + exact dedup + LSH prune
     + SemDeDup + decontamination + LM-quality tail drop +
     cluster-balanced sampling + temperature sampling + split stamp +
@@ -214,7 +215,9 @@ def bench_curation(spark, tmp: str) -> dict:
     round-5 stage set only — see BENCH/BASELINE.md for the
     discontinuity note). Corpus prep (extract + write) is untimed; the
     timed region is ONE run_curation call, fingerprint to snapshot
-    commit."""
+    commit. The URL blocklist (first cut) blocks a Zipf-TAIL host so
+    the stage executes for real each round while the corpus stays
+    comparable with earlier rounds' chain numbers."""
     import pandas as pd
 
     from distributed_system___ocr_spark.corpus import pages_df
@@ -241,6 +244,7 @@ def bench_curation(spark, tmp: str) -> dict:
         docs,
         os.path.join(tmp, "cur_out"),
         run_id="bench",
+        blocked_domains=["host19.example.com"],
         quality_min_chars=30,
         domain_cap=50_000,  # fires on the hot Zipf host only
         remove_spans_min_docs=5000,
