@@ -70,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
         "components) -> chunk -> greedy packing into --output, with "
         "lineage and a no-op resume over an unchanged corpus",
     )
+    p.add_argument(
+        "--increment", action="store_true",
+        help="with --curate: treat --input as a NEW batch appended to "
+        "the committed curation in --output — already-processed urls "
+        "resume-drop, dedup runs keep-first against the committed "
+        "survivors, corpus-global stage flags are rejected",
+    )
     p.add_argument("--chunk-size", type=int, default=2048)
     p.add_argument("--chunk-stride", type=int, default=1792)
     p.add_argument("--pack-target", type=int, default=8192)
@@ -168,6 +175,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    if args.increment and not args.curate:
+        parser.error("--increment requires --curate (it selects how "
+                     "the curation job treats --input)")
     if args.report and args.no_manifest:
         # the report is rendered FROM the manifest; catching this after
         # the pipeline already ran would waste the whole job
@@ -234,6 +244,7 @@ def main(argv: list[str] | None = None) -> int:
             read_extracted(spark, args.input),
             args.output,
             run_id=args.run_id,
+            incremental=args.increment,
             chunk_size=args.chunk_size,
             chunk_stride=args.chunk_stride,
             pack_target=args.pack_target,

@@ -217,8 +217,17 @@ def vacuum_curation(out_dir: str, keep_last: int = 1) -> dict:
         )
     hist = _committed_run_history(out_dir, snap["n"])
     hist = [r for r in hist if r in set(snap["runs"])]
-    keep = hist[-keep_last:]
-    drop = sorted(set(snap["runs"]) - set(keep))
+    keep = set(hist[-keep_last:])
+    # ancestor closure: an incremental run's cumulative view reads
+    # every parent in its chain, so vacuuming a kept run's ancestor
+    # would break it — retain the transitive parents too
+    rp = snap.get("run_parents", {})
+    for r in list(keep):
+        cur = rp.get(r)
+        while cur is not None and cur not in keep:
+            keep.add(cur)
+            cur = rp.get(cur)
+    drop = sorted(set(snap["runs"]) - keep)
 
     # enumerate removals BEFORE the commit so the persisted snapshot
     # already carries removed_paths (no divergence between disk and
@@ -246,6 +255,9 @@ def vacuum_curation(out_dir: str, keep_last: int = 1) -> dict:
         "input_fingerprint": snap.get("input_fingerprint"),
         "latest_run": snap.get("latest_run", hist[-1]),
         "removed_paths": to_remove,
+        # pruned to kept runs (ancestors of kept runs are themselves
+        # kept by the closure above)
+        "run_parents": {r: p for r, p in rp.items() if r in keep},
     }
     name = f"snapshot-{n}.json"
     _atomic_write(os.path.join(_ckpt(out_dir), name), json.dumps(new_snap))
@@ -546,6 +558,37 @@ def domain_cap_docs(docs: DataFrame, cap: int) -> DataFrame:
     )
 
 
+def domain_cap_docs_incremental(
+    new_docs: DataFrame, base: DataFrame, cap: int
+) -> DataFrame:
+    """Incremental form of the per-host quota: committed base
+    survivors already consumed part of each host's budget, so new
+    docs only fill the REMAINING headroom (longest-texts-win, url
+    tie-break — same order as the full form). Exact keep-first
+    semantics: a host at or over quota admits nothing. The base
+    per-host counts are a hosts-sized aggregate (thin, but unbounded
+    cardinality — never statically broadcast; AQE decides)."""
+    host = F.coalesce(F.expr("parse_url(url, 'HOST')"), F.lit(""))
+    base_counts = (
+        base.withColumn("_host", host)
+        .groupBy("_host")
+        .agg(F.count("*").alias("_base_n"))
+    )
+    w = Window.partitionBy("_host").orderBy(
+        F.length("text").desc(), "url"
+    )
+    return (
+        new_docs.withColumn("_host", host)
+        .join(base_counts, "_host", "left")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(
+            F.col("_rn")
+            <= F.lit(cap) - F.coalesce(F.col("_base_n"), F.lit(0))
+        )
+        .drop("_rn", "_host", "_base_n")
+    )
+
+
 def lm_quality_survivors(docs: DataFrame, drop_z: float) -> DataFrame:
     """CCNet-style LM-quality tail drop: score each doc by its average
     unigram log-probability under the corpus's own model, then drop
@@ -692,6 +735,159 @@ def neardup_survivors(docs: DataFrame) -> DataFrame:
         F.col("id").alias("url")
     )
     return docs.join(keep, "url", "left_semi")
+
+
+_BANDS_META = "_band_meta.json"
+
+
+def _band_meta() -> dict:
+    """Identity of the persisted band layout: an increment may reuse a
+    run's stored bands only if the minhash algorithm that would
+    recompute them is unchanged."""
+    return {
+        "token_hash_version": TOKEN_HASH_VERSION,
+        "n_hashes": N_HASHES,
+        "band_size": BAND_SIZE,
+    }
+
+
+def _write_survivor_bands(survivors: DataFrame, run_dir: str) -> None:
+    """Persist the survivors' LSH band values beside the survivors —
+    16 thin rows per doc — so a future increment band-joins against
+    them directly instead of re-minhashing the whole committed corpus
+    (the difference between O(new) and O(corpus) per increment)."""
+    from .operators.neardup import minhash_bands
+
+    minhash_bands(
+        survivors.select("url", "text"), id_col="url", text_col="text"
+    ).write.mode("overwrite").parquet(os.path.join(run_dir, "bands"))
+    _atomic_write(
+        os.path.join(run_dir, _BANDS_META), json.dumps(_band_meta())
+    )
+
+
+def _chain_bands(
+    spark: SparkSession, out_dir: str, chain: list[str]
+) -> DataFrame:
+    """Band rows for every committed survivor in the chain: stored
+    bands where present AND algorithm-compatible, recomputed from
+    survivor text otherwise (runs committed before band persistence,
+    or across a minhash version bump)."""
+    from .operators.neardup import minhash_bands
+
+    parts = []
+    for rid in chain:
+        run_dir = os.path.join(out_dir, "curated", f"run_id={rid}")
+        meta_path = os.path.join(run_dir, _BANDS_META)
+        bands_path = os.path.join(run_dir, "bands")
+        reusable = False
+        if os.path.isdir(bands_path) and os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    reusable = json.load(f) == _band_meta()
+            except (OSError, ValueError):
+                reusable = False
+        parts.append(
+            spark.read.parquet(bands_path) if reusable
+            else minhash_bands(
+                spark.read.parquet(
+                    _survivors_path(out_dir, rid)
+                ).select("url", "text"),
+                id_col="url", text_col="text",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def exact_dedup_survivors_incremental(
+    new_docs: DataFrame, base: DataFrame
+) -> DataFrame:
+    """Keep-first exact dedup for an increment: among the new batch
+    the min-url doc per exact text wins (same rule as the full form),
+    and any new doc whose text matches a COMMITTED base survivor
+    drops — committed survivors are never revoked. One hash window
+    over the new batch + one hash anti-join against the base (the
+    base side ships 16-byte hashes, not text)."""
+    h = F.md5(F.col("text").cast("binary"))
+    base_hashes = base.select(h.alias("content_hash")).distinct()
+    w = Window.partitionBy("content_hash").orderBy("url")
+    return (
+        new_docs.withColumn("content_hash", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(base_hashes, "content_hash", "left_anti")
+        .drop("_rn", "content_hash")
+    )
+
+
+def neardup_survivors_incremental(
+    new_docs: DataFrame,
+    base: DataFrame,
+    base_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Keep-first near-dup pruning for an increment: band-join the
+    new batch's signatures against (base ∪ new) bands; a new doc in
+    any component touching a committed survivor drops (even when it
+    BRIDGES two base clusters a full re-curate would merge — revoking
+    committed docs is exactly what incremental mode promises not to
+    do), and new-only components keep their min-url representative,
+    identical to the full form.
+
+    Scale shape: O(new), not O(corpus) — ``base_bands`` (persisted
+    beside each run's survivors, `_write_survivor_bands`) means the
+    committed corpus is never re-minhashed, and the pair join keeps
+    the NEW batch on one side, so base-base bucket pairs (already
+    resolved when those runs committed) are never generated. Without
+    ``base_bands`` the base signatures are recomputed from survivor
+    text (one linear pass — the pre-persistence fallback). Components
+    iterate on pair-touched vertices only, so the untouched bulk of
+    the base exits the loop immediately."""
+    from .operators.neardup import minhash_bands
+
+    new_bands = minhash_bands(new_docs, id_col="url", text_col="text")
+    if base_bands is None:
+        base_bands = minhash_bands(base, id_col="url", text_col="text")
+    all_bands = new_bands.unionByName(base_bands)
+    # pairs touching at least one NEW doc; canonical (min, max) order
+    # so the same pair found from both sides dedupes in the distinct
+    a, b = new_bands.alias("a"), all_bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least("a.id", "b.id").alias("a_id"),
+            F.greatest("a.id", "b.id").alias("b_id"),
+        )
+        .distinct()
+    )
+    combined_ids = (
+        base.select("url").unionByName(new_docs.select("url"))
+    )
+    labels = connected_components(
+        combined_ids, pairs,
+        vertex_col="url", src="a_id", dst="b_id",
+    )
+    base_ids = base.select(F.col("url").alias("id"))
+    # components containing ANY committed survivor: everything new in
+    # them is a near-dup of committed work
+    base_components = (
+        labels.join(base_ids, "id", "left_semi")
+        .select("component").distinct()
+    )
+    keep = (
+        labels.join(base_ids, "id", "left_anti")
+        .join(base_components, "component", "left_anti")
+        .filter(F.col("id") == F.col("component"))
+        .select(F.col("id").alias("url"))
+    )
+    return new_docs.join(keep, "url", "left_semi")
 
 
 def semdedup_prune(
@@ -850,10 +1046,17 @@ def run_curation(
     cluster_alpha: float | None = None,
     sample_alpha: float | None = None,
     split_fracs: tuple[float, float] | None = None,
+    incremental: bool = False,
 ) -> dict:
     """Run (or no-op-resume) the curation job; returns summary counts
     and paths. ``docs`` must have (url, text, lang) — typically
     ``read_extracted(spark, extraction_out_dir)``.
+
+    ``incremental=True`` (use the ``run_curation_increment`` wrapper)
+    treats ``docs`` as a NEW batch appended to the committed corpus:
+    already-processed urls resume-drop, dedup runs keep-first against
+    the committed survivor chain, and corpus-global stages are
+    rejected — see the wrapper's docstring for the full contract.
 
     Opt-in stages (each fingerprinted, so toggling or reconfiguring
     any of them re-curates rather than falsely no-op-resuming —
@@ -949,6 +1152,60 @@ def run_curation(
                 "split_fracs must be (train, val) with train > 0, "
                 "val > 0 and train + val < 1 (test takes the rest)"
             )
+    base = parent_run = processed = None
+    if incremental:
+        # corpus-global stages compute statistics over the WHOLE
+        # corpus (span/tile frequencies, embedding cells, per-lang
+        # quality stats, language/cell shares): running them over one
+        # batch silently changes their semantics, so they demand a
+        # full re-curate instead
+        for knob, nm in (
+            (remove_spans_min_docs, "remove_spans_min_docs"),
+            (segment_dedup_n, "segment_dedup_n"),
+            (semdedup_tau, "semdedup_tau"),
+            (lm_quality_drop_z, "lm_quality_drop_z"),
+            (cluster_alpha, "cluster_alpha"),
+            (sample_alpha, "sample_alpha"),
+        ):
+            if knob is not None:
+                raise ValueError(
+                    f"{nm} is a corpus-global stage — its statistics "
+                    "are properties of the whole corpus, so it needs "
+                    "a full re-curate, not an increment"
+                )
+        if prev is None:
+            raise FileNotFoundError(
+                f"no committed curation under {out_dir} to increment "
+                "— run a full run_curation first"
+            )
+        parent_run = prev.get("latest_run", prev["runs"][-1])
+        chain = _run_chain(prev, parent_run)
+        base = read_curated(
+            spark, out_dir, run_id=parent_run, cumulative=True
+        ).select("url", "text", "lang")
+        # stored survivor bands (recomputed per run only when absent
+        # or algorithm-incompatible): the committed corpus is never
+        # re-minhashed on the happy path
+        base_bands = _chain_bands(spark, out_dir, chain)
+        # every url EVALUATED by the chain (processed manifests; runs
+        # committed before the manifest existed fall back to their
+        # survivor urls — a url those runs dropped would be
+        # re-evaluated, and dedup-vs-base re-drops it)
+        parts = []
+        for rid in chain:
+            p = os.path.join(
+                out_dir, "curated", f"run_id={rid}", "processed"
+            )
+            parts.append(
+                spark.read.parquet(p) if os.path.isdir(p)
+                else spark.read.parquet(
+                    _survivors_path(out_dir, rid)
+                ).select("url")
+            )
+        processed = parts[0]
+        for p in parts[1:]:
+            processed = processed.unionByName(p)
+        processed = processed.distinct()
     # blank rows can't train and would all collide on one content
     # hash; drop them up front, counted in the lineage 'input' stage
     # (raw -> non-blank), mirroring the extraction pipeline's O2
@@ -1022,6 +1279,15 @@ def run_curation(
         fp["sample_alpha"] = sample_alpha
     if split_fracs is not None:
         fp["split"] = [split_fracs[0], split_fracs[1]]
+    if incremental:
+        # mode flag, not the parent id: a resubmission of the SAME
+        # batch right after its own commit must compare equal to that
+        # commit's fingerprint and no-op (the parent id would change
+        # with every commit and defeat the barrier); any OTHER commit
+        # in between changes the latest fingerprint and correctly
+        # forces a re-evaluation (which then resume-drops everything
+        # already processed)
+        fp["incremental"] = True
     if prev and prev.get("input_fingerprint") == fp:
         # completion barrier: same corpus already curated — rerunning
         # the whole dataflow would reproduce byte-identical output
@@ -1113,6 +1379,37 @@ def run_curation(
             if sample_alpha is not None else None,
         ),
     ]
+    if incremental:
+        # the increment's dataflow: resume first (already-evaluated
+        # urls are not new work), the per-doc stages unchanged, both
+        # dedup stages in their keep-first against-the-chain form;
+        # corpus-global stages were rejected above
+        by_name = dict(stage_defs)
+        stage_defs = [
+            (
+                "resume_anti_join",
+                lambda df: df.join(processed, "url", "left_anti"),
+            ),
+            ("url_blocklist", by_name["url_blocklist"]),
+            ("quality_gate", by_name["quality_gate"]),
+            (
+                "domain_cap",
+                (lambda df: domain_cap_docs_incremental(
+                    df, base, domain_cap
+                )) if domain_cap is not None else None,
+            ),
+            (
+                "exact_dedup",
+                lambda df: exact_dedup_survivors_incremental(df, base),
+            ),
+            (
+                "neardup_prune",
+                lambda df: neardup_survivors_incremental(
+                    df, base, base_bands=base_bands
+                ),
+            ),
+            ("decontaminate", by_name["decontaminate"]),
+        ]
 
     # every materialized frame releases on ANY exit (round-4 advice:
     # an exception between materialize and the early release leaked
@@ -1161,6 +1458,7 @@ def run_curation(
         measured: dict[str, int] = {}
         enabled = [(nm, fn) for nm, fn in stage_defs if fn is not None]
         last_enabled = enabled[-1][0]
+        processed_written = False
         try:
             cur, prev_cached = docs, None
             for nm, fn in enabled:
@@ -1171,11 +1469,28 @@ def run_curation(
                     # the successor's (often multi-pass) dataflow
                     cur, measured[nm] = _materialize(cur, prev_cached)
                     prev_cached = cur
+                    if nm == "resume_anti_join":
+                        # processed manifest (incremental): every url
+                        # this run EVALUATED — what a later increment
+                        # resume-anti-joins against. Written HERE,
+                        # while the checkpoint's blocks are still
+                        # alive (_materialize frees each stage once
+                        # its successor lands)
+                        cur.select("url").write.mode(
+                            "overwrite"
+                        ).parquet(os.path.join(run_dir, "processed"))
+                        processed_written = True
             if split_fracs is not None:
                 # count-preserving: stamps the deterministic split on
                 # the final survivor set just before the write
                 cur = stamp_split(cur, split_fracs[0], split_fracs[1])
             cur.write.mode("overwrite").parquet(survivors_path)
+            if not processed_written:
+                # full run: every non-blank input url was evaluated —
+                # a thin url-only projection straight off the scan
+                docs.select("url").write.mode("overwrite").parquet(
+                    os.path.join(run_dir, "processed")
+                )
         finally:
             for p in materialized:
                 _free_ckpt(p)
@@ -1183,6 +1498,11 @@ def run_curation(
         survivors = spark.read.parquet(survivors_path)
         n_survivors = survivors.count()
         measured[last_enabled] = n_survivors
+
+        # survivor bands: what a future increment band-joins against
+        # instead of re-minhashing this run's survivors (O(new) vs
+        # O(corpus) per increment); survivors-sized, thin
+        _write_survivor_bands(survivors, run_dir)
 
         # per-stage lineage counts: disabled stages pass through
         stage_out: dict[str, int] = {}
@@ -1241,6 +1561,13 @@ def run_curation(
             "runs": sorted(committed | {run_id}),
             "input_fingerprint": fp,
             "latest_run": run_id,
+            # which run each committed run extended (None for full
+            # runs): drives cumulative reads and vacuum's
+            # ancestor-retention closure
+            "run_parents": {
+                **(prev.get("run_parents", {}) if prev else {}),
+                run_id: parent_run,
+            },
         }
         if prev and prev.get("vacuumed_runs"):
             snap["vacuumed_runs"] = prev["vacuumed_runs"]
@@ -1258,17 +1585,20 @@ def run_curation(
         "snapshot": snap,
         "n_raw_input": n_raw,
         "n_input": n_input,
-        "n_after_url_blocklist": stage_out["url_blocklist"],
-        "n_after_quality_gate": stage_out["quality_gate"],
-        "n_after_domain_cap": stage_out["domain_cap"],
-        "n_after_span_removal": stage_out["span_removal"],
-        "n_after_segment_dedup": stage_out["segment_dedup"],
-        "n_after_exact_dedup": stage_out["exact_dedup"],
-        "n_after_neardup": stage_out["neardup_prune"],
-        "n_after_semdedup": stage_out["semdedup"],
-        "n_after_decon": stage_out["decontaminate"],
-        "n_after_lm_quality": stage_out["lm_quality"],
-        "n_after_cluster_balance": stage_out["cluster_balance"],
+        # .get: an incremental run's stage set omits the
+        # corpus-global stages (and a full run has no resume stage)
+        "n_after_resume": stage_out.get("resume_anti_join"),
+        "n_after_url_blocklist": stage_out.get("url_blocklist"),
+        "n_after_quality_gate": stage_out.get("quality_gate"),
+        "n_after_domain_cap": stage_out.get("domain_cap"),
+        "n_after_span_removal": stage_out.get("span_removal"),
+        "n_after_segment_dedup": stage_out.get("segment_dedup"),
+        "n_after_exact_dedup": stage_out.get("exact_dedup"),
+        "n_after_neardup": stage_out.get("neardup_prune"),
+        "n_after_semdedup": stage_out.get("semdedup"),
+        "n_after_decon": stage_out.get("decontaminate"),
+        "n_after_lm_quality": stage_out.get("lm_quality"),
+        "n_after_cluster_balance": stage_out.get("cluster_balance"),
         "n_survivors": n_survivors,
         "n_chunks": n_chunks,
         "n_bins": n_bins,
@@ -1276,6 +1606,54 @@ def run_curation(
         "packed_path": packed_path,
         "lineage_path": lineage_path,
     }
+
+
+def run_curation_increment(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    out_dir: str,
+    run_id: str | None = None,
+    **kwargs,
+) -> dict:
+    """Append a new crawl batch to a committed curation WITHOUT
+    re-curating the corpus — the 100-TB operating mode: a monthly
+    snapshot lands and only the new documents flow through the chain,
+    deduped keep-first against everything already committed.
+
+    Contract:
+    - requires a committed base (``run_curation``) in ``out_dir``;
+      the increment chains onto the LATEST committed run;
+    - already-evaluated urls resume-drop (processed manifests union'd
+      over the parent chain), mirroring the extraction pipeline's
+      per-url resume;
+    - committed survivors are never revoked: a new doc drops if it
+      exact- or near-duplicates any committed survivor; the domain
+      cap fills only each host's remaining headroom;
+    - per-doc stages (``blocked_domains``, quality gate,
+      ``decon_eval``, ``split_fracs``, chunk/pack config) behave
+      exactly as in a full run; corpus-global stages
+      (``remove_spans_min_docs``, ``segment_dedup_n``,
+      ``semdedup_tau``, ``lm_quality_drop_z``, ``cluster_alpha``,
+      ``sample_alpha``) raise — their statistics are properties of
+      the whole corpus and need a full re-curate;
+    - the increment commits as its own run (survivors/packed/lineage
+      + processed manifest) with a ``run_parents`` pointer; read the
+      combined corpus with ``read_curated(..., cumulative=True)``;
+      an identical batch resubmitted against the same chain head
+      no-op-resumes (completion barrier), and ``vacuum_curation``
+      retains every ancestor of a kept run.
+
+    Equivalence: when representative choice cannot differ (base urls
+    sort before increment urls), base-then-increment produces the
+    same cumulative survivor set as one full curation over the union
+    — pinned by tests/test_curation_incremental.py. Where it CAN
+    differ (a new doc bridging two committed near-dup clusters, or a
+    smaller new url that a full run would have elected representative)
+    keep-first preserves the committed side by design."""
+    return run_curation(
+        spark, new_docs, out_dir, run_id=run_id, incremental=True,
+        **kwargs,
+    )
 
 
 def read_packed(
@@ -1319,13 +1697,41 @@ def export_packed_jsonl(
     return spark.read.schema(packed.schema).json(dest).count()
 
 
+def _run_chain(snap: dict, run_id: str) -> list[str]:
+    """run_id plus its incremental ancestors, newest first: walk the
+    snapshot's ``run_parents`` map (runs committed before incremental
+    mode existed have no entry — chain of one)."""
+    rp = snap.get("run_parents", {})
+    chain: list[str] = []
+    cur: str | None = run_id
+    while cur is not None and cur not in chain:
+        chain.append(cur)
+        cur = rp.get(cur)
+    return chain
+
+
+def _survivors_path(out_dir: str, run_id: str) -> str:
+    return os.path.join(
+        out_dir, "curated", f"run_id={run_id}", "survivors"
+    )
+
+
 def read_curated(
-    spark: SparkSession, out_dir: str, run_id: str | None = None
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str | None = None,
+    cumulative: bool = False,
 ) -> DataFrame:
     """Survivors of the latest committed curation snapshot — or, with
     ``run_id``, time-travel to any COMMITTED earlier run (the snapshot
     log keeps every committed run_id; uncommitted/crashed runs are
-    not readable, same rule as the extraction snapshot layer)."""
+    not readable, same rule as the extraction snapshot layer).
+
+    ``cumulative=True`` returns the run's FULL corpus view: its own
+    survivors unioned with every incremental ancestor's (the training
+    handoff for a base + increments chain). Schemas are aligned by
+    name with missing columns as NULL, so a split-stamped increment
+    unions cleanly over a splitless base."""
     snap = load_curation_snapshot(out_dir)
     if not snap:
         raise FileNotFoundError(f"no committed curation under {out_dir}")
@@ -1336,6 +1742,12 @@ def read_curated(
             f"run_id {run_id!r} is not committed in {out_dir} "
             f"(committed: {snap['runs']})"
         )
-    return spark.read.parquet(
-        os.path.join(out_dir, "curated", f"run_id={run_id}", "survivors")
-    )
+    if not cumulative:
+        return spark.read.parquet(_survivors_path(out_dir, run_id))
+    out = None
+    for rid in _run_chain(snap, run_id):
+        df = spark.read.parquet(_survivors_path(out_dir, rid))
+        out = df if out is None else out.unionByName(
+            df, allowMissingColumns=True
+        )
+    return out

@@ -511,9 +511,9 @@ def test_temperature_sampling_stage_rebalances(spark, tmp_path):
 
 
 _ALL_STAGE_NAMES = [
-    "input", "quality_gate", "domain_cap", "span_removal",
-    "segment_dedup", "exact_dedup", "neardup_prune", "semdedup",
-    "decontaminate", "lm_quality", "cluster_balance",
+    "input", "url_blocklist", "quality_gate", "domain_cap",
+    "span_removal", "segment_dedup", "exact_dedup", "neardup_prune",
+    "semdedup", "decontaminate", "lm_quality", "cluster_balance",
     "temperature_sample", "split_stamp", "chunk", "pack",
 ]
 
