@@ -752,18 +752,47 @@ def _band_meta() -> dict:
 
 
 def _write_survivor_bands(survivors: DataFrame, run_dir: str) -> None:
-    """Persist the survivors' LSH band values beside the survivors —
-    16 thin rows per doc — so a future increment band-joins against
-    them directly instead of re-minhashing the whole committed corpus
-    (the difference between O(new) and O(corpus) per increment)."""
+    """Persist the survivors' LSH band values AND content hashes
+    beside the survivors — 16+1 thin rows per doc — so a future
+    increment band-joins / hash-anti-joins against them directly
+    instead of re-reading the whole committed corpus's text (the
+    difference between O(new) and O(corpus) per increment)."""
     from .operators.neardup import minhash_bands
 
     minhash_bands(
         survivors.select("url", "text"), id_col="url", text_col="text"
     ).write.mode("overwrite").parquet(os.path.join(run_dir, "bands"))
+    survivors.select(
+        "url", F.md5(F.col("text").cast("binary")).alias("content_hash")
+    ).write.mode("overwrite").parquet(os.path.join(run_dir, "hashes"))
     _atomic_write(
         os.path.join(run_dir, _BANDS_META), json.dumps(_band_meta())
     )
+
+
+def _chain_hashes(
+    spark: SparkSession, out_dir: str, chain: list[str]
+) -> DataFrame:
+    """(content_hash) rows of every committed survivor in the chain:
+    stored hash manifests where present, recomputed from survivor
+    text otherwise (md5 has no version knob — only presence is
+    checked)."""
+    parts = []
+    for rid in chain:
+        p = os.path.join(out_dir, "curated", f"run_id={rid}", "hashes")
+        parts.append(
+            spark.read.parquet(p).select("content_hash")
+            if os.path.isdir(p)
+            else spark.read.parquet(
+                _survivors_path(out_dir, rid)
+            ).select(
+                F.md5(F.col("text").cast("binary")).alias("content_hash")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
 
 
 def _chain_bands(
@@ -803,16 +832,21 @@ def _chain_bands(
 
 
 def exact_dedup_survivors_incremental(
-    new_docs: DataFrame, base: DataFrame
+    new_docs: DataFrame,
+    base: DataFrame,
+    base_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Keep-first exact dedup for an increment: among the new batch
     the min-url doc per exact text wins (same rule as the full form),
     and any new doc whose text matches a COMMITTED base survivor
     drops — committed survivors are never revoked. One hash window
-    over the new batch + one hash anti-join against the base (the
-    base side ships 16-byte hashes, not text)."""
+    over the new batch + one hash anti-join against the base;
+    ``base_hashes`` (the per-run stored manifests, `_chain_hashes`)
+    keeps the anti-join off the base TEXT entirely — without it the
+    hashes are recomputed from survivor text (one linear pass)."""
     h = F.md5(F.col("text").cast("binary"))
-    base_hashes = base.select(h.alias("content_hash")).distinct()
+    if base_hashes is None:
+        base_hashes = base.select(h.alias("content_hash")).distinct()
     w = Window.partitionBy("content_hash").orderBy("url")
     return (
         new_docs.withColumn("content_hash", h)
@@ -867,11 +901,17 @@ def neardup_survivors_incremental(
         )
         .distinct()
     )
-    combined_ids = (
-        base.select("url").unionByName(new_docs.select("url"))
+    # vertices: pair-touched ids + the new batch — a committed doc in
+    # no candidate pair can't share a component with a new doc, so
+    # the label computation is O(pairs + new), not O(corpus)
+    vertices = (
+        pairs.select(F.col("a_id").alias("url"))
+        .unionByName(pairs.select(F.col("b_id").alias("url")))
+        .unionByName(new_docs.select("url"))
+        .distinct()
     )
     labels = connected_components(
-        combined_ids, pairs,
+        vertices, pairs,
         vertex_col="url", src="a_id", dst="b_id",
     )
     base_ids = base.select(F.col("url").alias("id"))
@@ -1183,10 +1223,13 @@ def run_curation(
         base = read_curated(
             spark, out_dir, run_id=parent_run, cumulative=True
         ).select("url", "text", "lang")
-        # stored survivor bands (recomputed per run only when absent
-        # or algorithm-incompatible): the committed corpus is never
-        # re-minhashed on the happy path
+        # stored survivor bands + content hashes (recomputed per run
+        # only when absent or algorithm-incompatible): on the happy
+        # path the increment never re-reads the committed corpus's
+        # TEXT at all — resume/cap touch urls, exact dedup touches
+        # stored hashes, near-dup touches stored bands
         base_bands = _chain_bands(spark, out_dir, chain)
+        base_hashes = _chain_hashes(spark, out_dir, chain)
         # every url EVALUATED by the chain (processed manifests; runs
         # committed before the manifest existed fall back to their
         # survivor urls — a url those runs dropped would be
@@ -1400,7 +1443,9 @@ def run_curation(
             ),
             (
                 "exact_dedup",
-                lambda df: exact_dedup_survivors_incremental(df, base),
+                lambda df: exact_dedup_survivors_incremental(
+                    df, base, base_hashes=base_hashes
+                ),
             ),
             (
                 "neardup_prune",
