@@ -347,3 +347,33 @@ def test_chain_bands_reuses_stored_bands_and_falls_back(
         (r["id"], r["band_idx"], r["band_val"])
         for r in recomputed.collect()
     } == rows
+
+
+def test_increment_fully_resumed_batch_commits_empty_run(
+    spark, tmp_path
+):
+    """A batch whose every url was already evaluated (resubmitted
+    after an unrelated commit changed the chain head, so the no-op
+    barrier does not fire) commits an EMPTY survivors run without
+    errors, and cumulative reads over the chain still work."""
+    out = str(tmp_path / "cur")
+    run_curation(spark, _base_docs(spark), out, run_id="base")
+    run_curation_increment(spark, _inc_docs(spark), out, run_id="i1")
+    extra = spark.createDataFrame(pd.DataFrame([
+        {"url": "https://z.com/solo",
+         "text": "solo novel text "
+         + " ".join(f"sw{j:02d}" for j in range(60)), "lang": "en"},
+    ]))
+    run_curation_increment(spark, extra, out, run_id="i2")
+    # resubmit the i1 batch: fp differs from i2's commit, so it runs
+    # — and every url resume-drops
+    info = run_curation_increment(
+        spark, _inc_docs(spark), out, run_id="i3",
+    )
+    assert "skipped_noop" not in info
+    assert info["n_after_resume"] == 0
+    assert info["n_survivors"] == 0 and info["n_chunks"] == 0
+    assert read_curated(spark, out, run_id="i3").count() == 0
+    cum = read_curated(spark, out, cumulative=True)
+    assert cum.count() > 0
+    assert cum.filter(F.col("url") == "https://z.com/solo").count() == 1
