@@ -155,6 +155,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="after --curate (or its no-op resume), export the latest "
         "packed chunks as JSONL to DEST",
     )
+    p.add_argument(
+        "--export-cumulative", action="store_true",
+        help="with --export-jsonl: export the whole base + increments "
+        "chain's packed chunks (run_id column added), not just the "
+        "latest run's",
+    )
     p.add_argument("--output", required=True, help="output/checkpoint dir")
     p.add_argument("--run-id", required=True, help="unique id for this run")
     p.add_argument(
@@ -285,7 +291,8 @@ def main(argv: list[str] | None = None) -> int:
             from .curation import export_packed_jsonl
 
             info["exported_chunks"] = export_packed_jsonl(
-                spark, args.output, args.export_jsonl
+                spark, args.output, args.export_jsonl,
+                cumulative=args.export_cumulative,
             )
             info["export_path"] = args.export_jsonl
         info["wall_sec"] = round(time.monotonic() - t0, 3)

@@ -1702,39 +1702,63 @@ def run_curation_increment(
 
 
 def read_packed(
-    spark: SparkSession, out_dir: str, split: str | None = None
+    spark: SparkSession,
+    out_dir: str,
+    split: str | None = None,
+    cumulative: bool = False,
 ) -> DataFrame:
     """Packed chunks of the latest committed curation snapshot. With
     ``split`` (and a run curated with ``split_fracs``), the filter
     lands on the split-partitioned directory layout, so a training
     reader of split=train never opens val/test files (partition
-    pruning, not a post-scan filter)."""
+    pruning, not a post-scan filter).
+
+    ``cumulative=True`` unions the latest run's packed bins with
+    every incremental ancestor's — the full training handoff for a
+    base + increments chain. A ``run_id`` column disambiguates bins:
+    each run numbers its bins from 0 per (lang[, split]), so the bin
+    key over a chain is (run_id, lang[, split], bin_id). Requesting a
+    ``split`` fails loudly if any chain run was not split-stamped
+    (silently dropping a whole run's rows would be worse)."""
     snap = load_curation_snapshot(out_dir)
     if not snap:
         raise FileNotFoundError(f"no committed curation under {out_dir}")
     rid = snap.get("latest_run", snap["runs"][-1])
-    df = spark.read.parquet(
-        os.path.join(out_dir, "curated", f"run_id={rid}", "packed")
-    )
+    chain = _run_chain(snap, rid) if cumulative else [rid]
+    frames, unstamped = [], []
+    for r in chain:
+        df = spark.read.parquet(
+            os.path.join(out_dir, "curated", f"run_id={r}", "packed")
+        )
+        if cumulative:
+            df = df.withColumn("run_id", F.lit(r))
+        if split is not None and "split" not in df.columns:
+            unstamped.append(r)
+        frames.append(df)
+    if split is not None and unstamped:
+        raise ValueError(
+            f"run(s) {unstamped} were not split-stamped (run with "
+            "split_fracs to enable train/val/test reads)"
+        )
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
     if split is not None:
-        if "split" not in df.columns:
-            raise ValueError(
-                "this curation run was not split-stamped (run with "
-                "split_fracs to enable train/val/test reads)"
-            )
-        df = df.filter(F.col("split") == split)
-    return df
+        out = out.filter(F.col("split") == split)
+    return out
 
 
 def export_packed_jsonl(
-    spark: SparkSession, out_dir: str, dest: str
+    spark: SparkSession, out_dir: str, dest: str,
+    cumulative: bool = False,
 ) -> int:
-    """Write the latest packed chunks as JSONL — the handoff format
+    """Write the latest packed chunks (or, ``cumulative=True``, the
+    whole base + increments chain's) as JSONL — the handoff format
     training loaders consume. One file per bin-partition would be the
     cluster shape; here the write mirrors the parquet layout (files
     per task). Returns the chunk count (from the written data, so the
     number reported is what is actually on disk)."""
-    packed = read_packed(spark, out_dir)
+    packed = read_packed(spark, out_dir, cumulative=cumulative)
     packed.write.mode("overwrite").json(dest)
     # explicit schema on the read-back: a legitimately-empty packed
     # set writes only _SUCCESS, and schema inference over zero JSON

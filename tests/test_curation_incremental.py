@@ -377,3 +377,35 @@ def test_increment_fully_resumed_batch_commits_empty_run(
     cum = read_curated(spark, out, cumulative=True)
     assert cum.count() > 0
     assert cum.filter(F.col("url") == "https://z.com/solo").count() == 1
+
+
+def test_read_packed_cumulative_unions_chain_with_run_id(
+    spark, tmp_path
+):
+    """The training handoff over a chain: cumulative packed read
+    unions base + increment bins with a run_id disambiguator (each
+    run numbers bins from 0), and requesting a split fails loudly
+    when a chain member was never split-stamped."""
+    from distributed_system___ocr_spark.curation import (
+        export_packed_jsonl,
+        read_packed,
+    )
+
+    out = str(tmp_path / "cur")
+    run_curation(spark, _base_docs(spark), out, run_id="base")
+    run_curation_increment(spark, _inc_docs(spark), out, run_id="inc")
+    latest_only = read_packed(spark, out).count()
+    cum = read_packed(spark, out, cumulative=True)
+    assert set(cum.select("run_id").distinct().toPandas()["run_id"]) == {
+        "base", "inc"
+    }
+    assert cum.count() > latest_only
+    # bins are keyed (run_id, lang, bin_id): ids from different runs
+    # may collide on (lang, bin_id) alone
+    assert cum.select("run_id", "lang", "bin_id").distinct().count() >= \
+        cum.select("lang", "bin_id").distinct().count()
+    with pytest.raises(ValueError, match="not split-stamped"):
+        read_packed(spark, out, split="train", cumulative=True)
+    dest = str(tmp_path / "chain.jsonl")
+    n = export_packed_jsonl(spark, out, dest, cumulative=True)
+    assert n == cum.count()
