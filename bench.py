@@ -220,6 +220,8 @@ def bench_curation(spark, tmp: str) -> dict:
     comparable with earlier rounds' chain numbers."""
     import pandas as pd
 
+    from pyspark.sql import functions as F
+
     from distributed_system___ocr_spark.corpus import pages_df
     from distributed_system___ocr_spark.curation import run_curation
     from distributed_system___ocr_spark.operators.extract import extract_stage
@@ -257,6 +259,39 @@ def bench_curation(spark, tmp: str) -> dict:
         split_fracs=(0.9, 0.05),
     )
     sec = time.monotonic() - t0
+    # incremental append: +10% new pages against the committed chain
+    # (per-doc stages only — corpus-global stages need a full
+    # re-curate by design). The per-round tracked O(new) datum: the
+    # committed corpus's text is never re-read.
+    from distributed_system___ocr_spark.curation import (
+        run_curation_increment,
+    )
+
+    inc_docs = (
+        extract_stage(
+            pages_df(
+                spark, int(N_DOCS * 1.1), seed=42,
+                partitions=N_PARTS,
+            ).filter(
+                F.regexp_extract("url", r"/page-(\d+)$", 1)
+                .cast("long") >= N_DOCS
+            )
+        ).select("url", "text", "lang").localCheckpoint()
+    )
+    n_inc = inc_docs.count()
+    t1 = time.monotonic()
+    inc_info = run_curation_increment(
+        spark,
+        inc_docs,
+        os.path.join(tmp, "cur_out"),
+        run_id="bench-inc",
+        blocked_domains=["host19.example.com"],
+        quality_min_chars=30,
+        domain_cap=50_000,
+        decon_eval=eval_docs,
+        split_fracs=(0.9, 0.05),
+    )
+    inc_sec = time.monotonic() - t1
     return {
         "n_pages": N_DOCS,
         "n_input_docs": info["n_input"],
@@ -264,6 +299,12 @@ def bench_curation(spark, tmp: str) -> dict:
         "docs_per_sec": round(info["n_input"] / sec, 1),
         "n_survivors": info["n_survivors"],
         "n_chunks": info["n_chunks"],
+        "incremental": {
+            "n_inc_docs": n_inc,
+            "sec": round(inc_sec, 3),
+            "docs_per_sec": round(n_inc / inc_sec, 1),
+            "n_survivors": inc_info["n_survivors"],
+        },
     }
 
 
