@@ -178,12 +178,32 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _blocked_domains_arg(value: str | None, spark):
+    """--blocked-domains: a parquet path loads as a DataFrame
+    blocklist; anything else parses as a comma list, whitespace-
+    stripped with empties dropped — "a.com, b.com" must block b.com
+    (a leading space survives run_curation's lower()/lstrip(".")
+    normalization and matches no real host, silently half-disabling
+    a safety filter)."""
+    if not value:
+        return None
+    if os.path.isdir(value) or value.endswith(".parquet"):
+        return spark.read.parquet(value)
+    return [d.strip() for d in value.split(",") if d.strip()]
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
     if args.increment and not args.curate:
         parser.error("--increment requires --curate (it selects how "
                      "the curation job treats --input)")
+    if args.export_cumulative and not args.export_jsonl:
+        # the flag only parameterizes the JSONL export; silently
+        # running the whole curation and exporting nothing would be
+        # discovered only after the job completed
+        parser.error("--export-cumulative has no effect without "
+                     "--export-jsonl DEST")
     if args.report and args.no_manifest:
         # the report is rendered FROM the manifest; catching this after
         # the pipeline already ran would waste the whole job
@@ -254,13 +274,8 @@ def main(argv: list[str] | None = None) -> int:
             chunk_size=args.chunk_size,
             chunk_stride=args.chunk_stride,
             pack_target=args.pack_target,
-            blocked_domains=(
-                spark.read.parquet(args.blocked_domains)
-                if args.blocked_domains
-                and (os.path.isdir(args.blocked_domains)
-                     or args.blocked_domains.endswith(".parquet"))
-                else args.blocked_domains.split(",")
-                if args.blocked_domains else None
+            blocked_domains=_blocked_domains_arg(
+                args.blocked_domains, spark
             ),
             quality_min_chars=args.quality_min_chars,
             quality_max_chars=args.quality_max_chars,

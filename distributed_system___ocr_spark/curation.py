@@ -54,6 +54,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.bucket import salted_bucket
 from .functions.minhash import BAND_SIZE, N_HASHES, TOKEN_HASH_VERSION
 from .operators.components import _free_ckpt, connected_components
 from .operators.neardup import minhash_lsh_pairs_scale
@@ -76,8 +77,13 @@ _CKPT = "_checkpoint"
 # the adjacent bucket, shifting pack order). v4: the split stamp's
 # bucket gained the "split:" salt (stacked decisions on one unsalted
 # bucket correlate — val/test were drawn only from strata whose
-# sampling keep-threshold exceeded the train fraction).
-CURATION_DATAFLOW_VERSION = 4
+# sampling keep-threshold exceeded the train fraction). v5: the
+# SemDeDup stage restricts an EXTERNAL embedding table to the docs
+# actually reaching the stage (a foreign id pairing with a survivor
+# and sorting lower became the cluster label and deleted the
+# survivor), changing the survivor set of any committed run that
+# passed semdedup_embeddings.
+CURATION_DATAFLOW_VERSION = 5
 
 
 def _ckpt(out_dir: str) -> str:
@@ -521,11 +527,9 @@ def temperature_sample(docs: DataFrame, alpha: float) -> DataFrame:
             F.pow(F.col("_n") / F.col("_n_min"), alpha - 1) * 1_000_000, 0
         ).cast("long").alias("_keep_thresh"),
     )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("url").cast("binary")), 1, 8), 16, 10
-        ).cast("long") % 1_000_000
-    )
+    # UNSALTED by design: the oracle-gated temperature_sampled_corpus
+    # registry query pins this exact formula
+    bucket = salted_bucket("url", 1_000_000)
     return (
         docs.join(F.broadcast(r), "lang")
         .filter(bucket < F.col("_keep_thresh"))
@@ -691,16 +695,7 @@ def stamp_split(
     one bucket are correlated, not independent)."""
     t1 = int(round(train_frac * 1_000_000))
     t2 = t1 + int(round(val_frac * 1_000_000))
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("split:"), F.col("url"))
-                    .cast("binary")
-                ), 1, 8
-            ), 16, 10
-        ).cast("long") % 1_000_000
-    )
+    bucket = salted_bucket("url", 1_000_000, salt="split:")
     return docs.withColumn(
         "split",
         F.when(bucket < t1, "train")
@@ -1571,10 +1566,17 @@ def run_curation(
         # the scan) instead of scanning and filtering 100% of the
         # chunk bytes — the read-side win the stamp exists for
         writer = packed.write.mode("overwrite")
-        if split_fracs is not None:
+        # partition only when there are rows: a zero-survivor run
+        # (e.g. a fully-resumed increment) partitionBy-writes ONLY
+        # _SUCCESS — no schema file — and every later schema-less
+        # read of the committed dir (read_packed, cumulative unions)
+        # would throw UNABLE_TO_INFER_SCHEMA; the non-partitioned
+        # empty write keeps a schema file, and a split filter on it
+        # is a no-op over zero rows
+        if split_fracs is not None and n_survivors > 0:
             writer = writer.partitionBy("split")
         writer.parquet(packed_path)
-        packed_back = spark.read.parquet(packed_path)
+        packed_back = spark.read.schema(packed.schema).parquet(packed_path)
         n_chunks = packed_back.count()
         n_bins = packed_back.select(
             "lang", *split_extra, "bin_id"

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from .kmeans import kmeans_train
 from .semdedup import feature_hash_embed, semdedup_k
+from ..functions.bucket import salted_bucket
 from ..functions.vectors import ivf_cell_udf
 
 # version of the cell-balance dataflow (train/assign/acceptance):
@@ -104,21 +105,9 @@ def cluster_balanced_keep(
             ) * 1_000_000, 0
         ).cast("long").alias("_keep_thresh"),
     )
-    # .cast("string") unifies string and numeric ids (BIGINT -> BINARY
-    # throws under ANSI mode); the stage-unique salt decorrelates this
-    # filter from every other md5-bucket stage in a composed chain
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("cluster_balance:"),
-                        F.col(id_col).cast("string"),
-                    ).cast("binary")
-                ), 1, 8
-            ), 16, 10
-        ).cast("long") % 1_000_000
-    )
+    # the stage-unique salt decorrelates this filter from every other
+    # md5-bucket stage in a composed chain
+    bucket = salted_bucket(id_col, 1_000_000, salt="cluster_balance:")
     return (
         docs.join(
             assigned.withColumnRenamed("_id", id_col), id_col, "left"

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import ivf_cell_udf
-from .components import connected_components
+from .components import _free_ckpt, connected_components
 from .kmeans import kmeans_train
 
 _SEMDEDUP_K_MIN = 16
@@ -248,21 +248,46 @@ def semdedup_survivors(
     if embeddings is None:
         emb = feature_hash_embed(docs, id_col=id_col, text_col=text_col)
     else:
-        emb = embeddings.select(
+        # semi-join to the docs actually in this stage: an external
+        # embedding table naturally covers the WHOLE corpus, but ids
+        # absent from ``docs`` (pruned upstream) must not take part —
+        # a foreign id that pairs with a survivor and sorts lower
+        # becomes the cluster's min-id label (connected_components
+        # labels from edge endpoints) and the survivor drops with
+        # nothing kept in its place (round-6 review finding); the
+        # pair work would also be O(full corpus), not O(survivors)
+        emb = embeddings.join(
+            docs.select(id_col), id_col, "left_semi"
+        ).select(
             F.col(id_col).alias("_id"),
             F.transform(F.col("v"), lambda x: x.cast("double")).alias("v"),
         )
+    # checkpoint the embedded frame: it feeds the count, the k-means
+    # training sample, and (via ``assigned``) BOTH subtrees of the
+    # pair stage — un-materialized, the corpus-sized embed UDF scan
+    # re-runs once per consumer (same reason diversify.py checkpoints
+    # its assignment frame)
+    emb = emb.localCheckpoint()
     n = emb.count()
     if n == 0:
+        _free_ckpt(emb)
         return docs
     k = semdedup_k(n)
     cents = kmeans_train(emb, k=k, iters=3, vec_col="v", id_col="_id")
-    assigned = emb.withColumn("cell", ivf_cell_udf(cents)(F.col("v")))
+    assigned = emb.withColumn(
+        "cell", ivf_cell_udf(cents)(F.col("v"))
+    ).localCheckpoint()
+    _free_ckpt(emb)  # assigned carries (id, v, cell); emb superseded
     pairs = semdedup_cell_pairs(assigned, tau, n, id_type="string")
     labels = connected_components(
         docs.select(id_col), pairs, vertex_col=id_col,
         src="a_id", dst="b_id",
     )
+    # connected_components ran eagerly and returned a frame built on
+    # its own flat checkpointed labels — the pair pipeline (and with
+    # it ``assigned``) has been fully consumed; release its blocks
+    # now instead of waiting for GC + ContextCleaner
+    _free_ckpt(assigned)
     keep = labels.filter(F.col("id") == F.col("component")).select(
         F.col("id").alias(id_col)
     )

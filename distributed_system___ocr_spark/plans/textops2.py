@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.bucket import salted_bucket
 from .queries import _t, register
 
 # hash bucket in [0, mod): same md5-hex arithmetic both engines —
@@ -38,15 +39,7 @@ def _duck_bucket(mod: int, salt: str = "") -> str:
 
 
 def _spark_bucket(mod: int, salt: str = ""):
-    key = F.col("doc_id").cast("string")
-    if salt:
-        key = F.concat(F.lit(salt), key)
-    return (
-        F.conv(
-            F.substring(F.md5(key.cast("binary")), 1, 8),
-            16, 10,
-        ).cast("long") % int(mod)
-    )
+    return salted_bucket("doc_id", mod, salt=salt)
 
 
 _DUCK_BUCKET100 = _duck_bucket(100)

@@ -115,3 +115,34 @@ def test_cli_report_without_manifest_fails_fast(tmp_path):
     )
     assert out.returncode == 2  # argparse error exit, no Spark startup
     assert "--no-manifest" in out.stderr
+
+
+def test_cli_blocked_domains_list_is_whitespace_stripped():
+    """"a.com, b.com" must block b.com: a leading space survives
+    run_curation's lower()/lstrip(".") normalization and matches no
+    real host, silently half-disabling a safety filter (round-6
+    review). Pure parse — no Spark session needed."""
+    from distributed_system___ocr_spark.cli import _blocked_domains_arg
+
+    assert _blocked_domains_arg(
+        "adult.com, spam.com , ,x.org", spark=None
+    ) == ["adult.com", "spam.com", "x.org"]
+    assert _blocked_domains_arg(None, spark=None) is None
+    assert _blocked_domains_arg("", spark=None) is None
+
+
+def test_cli_export_cumulative_requires_export_jsonl(tmp_path):
+    """--export-cumulative only parameterizes the JSONL export;
+    without --export-jsonl it must fail fast (parser.error) instead
+    of running the whole curation and exporting nothing."""
+    import pytest
+
+    from distributed_system___ocr_spark.cli import main
+
+    with pytest.raises(SystemExit) as exc:
+        main([
+            "--synthetic", "10", "--curate",
+            "--output", str(tmp_path / "o"), "--run-id", "x",
+            "--export-cumulative",
+        ])
+    assert exc.value.code == 2

@@ -409,3 +409,46 @@ def test_read_packed_cumulative_unions_chain_with_run_id(
     dest = str(tmp_path / "chain.jsonl")
     n = export_packed_jsonl(spark, out, dest, cumulative=True)
     assert n == cum.count()
+
+
+def test_increment_fully_resumed_batch_commits_with_split_fracs(
+    spark, tmp_path
+):
+    """The zero-survivor increment edge WITH the split stamp on: an
+    empty partitionBy("split") write leaves only _SUCCESS (no schema
+    file), so neither the in-run packed read-back nor any later chain
+    read may depend on schema inference (round-6 review repro — the
+    splitless twin above passed while the benched split increment
+    crashed before its snapshot commit)."""
+    from distributed_system___ocr_spark.curation import read_packed
+
+    out = str(tmp_path / "cur")
+    sf = (0.6, 0.2)
+    run_curation(
+        spark, _base_docs(spark), out, run_id="base", split_fracs=sf
+    )
+    run_curation_increment(
+        spark, _inc_docs(spark), out, run_id="i1", split_fracs=sf
+    )
+    extra = spark.createDataFrame(pd.DataFrame([
+        {"url": "https://z.com/solo",
+         "text": "solo novel text "
+         + " ".join(f"sw{j:02d}" for j in range(60)), "lang": "en"},
+    ]))
+    run_curation_increment(
+        spark, extra, out, run_id="i2", split_fracs=sf
+    )
+    # resubmit the i1 batch: fp differs from i2's commit, so it runs
+    # — every url resume-drops and the packed set is EMPTY
+    info = run_curation_increment(
+        spark, _inc_docs(spark), out, run_id="i3", split_fracs=sf,
+    )
+    assert "skipped_noop" not in info
+    assert info["n_survivors"] == 0 and info["n_chunks"] == 0
+    # chain reads over the empty-run chain still work, including the
+    # split-pruned training read (the empty run's packed dir must
+    # carry a readable schema with the split column)
+    cum = read_packed(spark, out, cumulative=True)
+    tr = read_packed(spark, out, split="train", cumulative=True)
+    assert 0 < tr.count() <= cum.count()
+    assert read_packed(spark, out).count() == 0  # latest run = i3

@@ -795,3 +795,52 @@ def test_cluster_balance_bucket_independent_of_unsalted_bucket(spark):
         for u in kept_big
     ]
     assert sum(1 for b in unsalted if b >= 745_000) >= 10
+
+
+def test_semdedup_survivors_external_embeddings_restricted_to_docs(spark):
+    """An external embedding table naturally covers the WHOLE corpus;
+    ids absent from the stage's ``docs`` (pruned upstream) must not
+    take part in clustering — a foreign id pairing with a unique
+    in-corpus doc and sorting lower would become the cluster's min-id
+    label, silently deleting that doc with nothing kept in its place
+    (round-6 review repro), and the pair work would be O(full corpus)
+    instead of O(survivors)."""
+    import pandas as pd
+
+    from distributed_system___ocr_spark.operators.semdedup import (
+        semdedup_survivors,
+    )
+
+    rows = [
+        {"url": f"https://ex.com/d{i:03d}", "text": f"doc {i}",
+         "lang": "en"}
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+
+    def vec(i, bump=0.0):
+        v = [0.0] * 8
+        v[i] = 1.0
+        if bump:
+            v[(i + 1) % 8] = bump
+        return v
+
+    # near-orthogonal in-corpus vectors: no real near-dup at tau=0.9
+    emb_rows = [
+        {"url": r["url"], "v": vec(i)} for i, r in enumerate(rows)
+    ]
+    # foreign id: sorts BEFORE every doc url, vector IDENTICAL to
+    # d000's (identical vectors land in the same quantizer cell at
+    # any k, so the cos=1.0 pair is guaranteed) — it would pair with
+    # d000 and become its component label
+    emb_rows.append({"url": "aaa-foreign", "v": vec(0)})
+    emb = spark.createDataFrame(pd.DataFrame(emb_rows))
+
+    got = {
+        r["url"]
+        for r in semdedup_survivors(
+            docs, tau=0.9, embeddings=emb, id_col="url",
+            text_col="text",
+        ).collect()
+    }
+    assert got == {r["url"] for r in rows}
