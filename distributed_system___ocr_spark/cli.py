@@ -58,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
         "into one compacted snapshot (no input read)",
     )
     src.add_argument(
+        "--compact-curation", action="store_true",
+        help="maintenance mode: rewrite the committed curation chain "
+        "(base + increments) in --output as ONE run under --run-id, "
+        "preserving the cumulative corpus byte-identically; vacuum "
+        "afterwards to reclaim the old chain (no input read)",
+    )
+    src.add_argument(
         "--vacuum-curation", type=int, metavar="KEEP",
         help="maintenance mode: drop all but the newest KEEP committed "
         "curation runs in --output (plus crashed-run debris); vacuumed "
@@ -246,6 +253,14 @@ def main(argv: list[str] | None = None) -> int:
 
         snap = compact(spark, args.output)
         print(json.dumps({"compacted_snapshot": snap,
+                          "wall_sec": round(time.monotonic() - t0, 3)}))
+        spark.stop()
+        return 0
+    if args.compact_curation:
+        from .curation import compact_curation
+
+        info = compact_curation(spark, args.output, run_id=args.run_id)
+        print(json.dumps({"compacted_curation": info,
                           "wall_sec": round(time.monotonic() - t0, 3)}))
         spark.stop()
         return 0

@@ -1822,3 +1822,247 @@ def read_curated(
             df, allowMissingColumns=True
         )
     return out
+
+
+def compact_curation(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str | None = None,
+) -> dict:
+    """Rewrite the latest incremental chain (base + N increments) as
+    ONE committed run, so ``vacuum_curation`` can reclaim the chain —
+    the curation twin of a table format's rewrite-data-files
+    maintenance, and the missing third leg of the append story:
+    increments keep chains O(months) long, cumulative reads union
+    O(months) directories, and vacuum must retain every ancestor of
+    the head forever. Compaction collapses all of that back to a
+    chain of one.
+
+    Physical rewrite only — NO stage recomputation and NO text
+    re-tokenization on the happy path: the cumulative survivors,
+    packed bins (renumbered into one contiguous bin space per
+    partition key, chunk rows byte-identical), the processed-url
+    manifest, and the increment-serving band/hash manifests all carry
+    over from the chain's stored artifacts. A later increment against
+    the compacted run therefore produces the SAME survivor set as it
+    would against the uncompacted chain (pinned by
+    tests/test_curation_compact.py).
+
+    Contract (mirrors run_curation's snapshot discipline):
+    - commits as a new run under the atomic snapshot log;
+      ``run_parents[new] = None`` (a compacted run IS a base), and
+      ``latest_run`` moves to it; the chain's runs stay committed —
+      reclaim them with ``vacuum_curation(keep_last=1)``;
+    - the parent chain's ``input_fingerprint`` carries over, so
+      resubmitting the head's batch still no-op-resumes;
+    - replayed/vacuumed run_ids are rejected; a live concurrent run's
+      sentinel fails the compaction loudly; the compaction holds its
+      own sentinel so a concurrent vacuum fails loudly;
+    - a chain of one is a documented no-op;
+    - a MIXED chain (some runs split-stamped, some not) raises:
+      merging them would turn read_packed's loud unstamped-run error
+      into silently dropping the unstamped rows from split reads.
+
+    Bin renumbering: each run numbers bins 0..n-1 per (lang[, split]);
+    the compacted run offsets each run's bins by the cumulative bin
+    count of the runs before it (oldest first), so bin membership is
+    preserved exactly and bin_ids stay contiguous per key. The offset
+    table is runs x languages x splits — metadata-sized, broadcast.
+    """
+    snap = load_curation_snapshot(out_dir)
+    if not snap:
+        raise FileNotFoundError(f"no committed curation under {out_dir}")
+    live = _live_inflight_runs(out_dir)
+    if live:
+        raise RuntimeError(
+            f"curation run(s) {live} appear to be in flight under "
+            f"{out_dir}; compacting now would race their commit — "
+            "wait for them or remove the stale INFLIGHT-* sentinel "
+            "if you are sure"
+        )
+    head = snap.get("latest_run", snap["runs"][-1])
+    chain = _run_chain(snap, head)
+    # replay guard BEFORE the chain-of-one no-op: an explicitly passed
+    # committed/vacuumed run_id is a caller error and must fail loudly
+    # even when there is nothing to compact
+    run_id = run_id or "compact-" + uuid.uuid4().hex[:12]
+    replay_guard = set(snap["runs"]) | set(snap.get("vacuumed_runs", []))
+    if run_id in replay_guard:
+        raise ValueError(
+            f"run_id {run_id!r} is already committed (or was vacuumed) "
+            f"in {out_dir}; compacted runs need a fresh run_id"
+        )
+    if len(chain) == 1:
+        return {"run_id": head, "snapshot": snap, "skipped_noop": True}
+
+    oldest_first = list(reversed(chain))
+    packed_frames = {
+        rid: spark.read.parquet(
+            os.path.join(out_dir, "curated", f"run_id={rid}", "packed")
+        )
+        for rid in oldest_first
+    }
+    stamped = ["split" in df.columns for df in packed_frames.values()]
+    if any(stamped) and not all(stamped):
+        unstamped = [
+            rid for rid, s in zip(oldest_first, stamped) if not s
+        ]
+        raise ValueError(
+            f"run(s) {unstamped} in the chain were not split-stamped; "
+            "compacting a mixed chain would silently drop their rows "
+            "from split reads — re-curate with split_fracs instead"
+        )
+    key = ["lang", "split"] if all(stamped) else ["lang"]
+
+    run_dir = os.path.join(out_dir, "curated", f"run_id={run_id}")
+    survivors_path = os.path.join(run_dir, "survivors")
+    packed_path = os.path.join(run_dir, "packed")
+    lineage_path = os.path.join(out_dir, "lineage", f"run_id={run_id}")
+    ck = _ckpt(out_dir)
+    sentinel = _inflight_path(out_dir, run_id)
+    with open(sentinel, "w") as f:
+        f.write(str(os.getpid()))
+    try:
+        # survivors: the cumulative corpus, one directory
+        surv = None
+        for rid in oldest_first:
+            df = spark.read.parquet(_survivors_path(out_dir, rid))
+            surv = df if surv is None else surv.unionByName(
+                df, allowMissingColumns=True
+            )
+        surv.write.mode("overwrite").parquet(survivors_path)
+        survivors = spark.read.parquet(survivors_path)
+        n_survivors = survivors.count()
+
+        # packed: per-run bins shifted into one contiguous space per
+        # partition key. Offsets come from each run's max bin_id per
+        # key (bins are contiguous from 0 per run) — runs x keys rows,
+        # collected driver-side and broadcast back.
+        next_off: dict[tuple, int] = {}
+        off_rows: list[tuple] = []
+        for rid in oldest_first:
+            mx = packed_frames[rid].groupBy(*key).agg(
+                F.max("bin_id").alias("_mx")
+            ).collect()
+            for r in mx:
+                k = tuple(r[c] for c in key)
+                off_rows.append((rid, *k, next_off.get(k, 0)))
+                next_off[k] = next_off.get(k, 0) + int(r["_mx"]) + 1
+        allp = None
+        for rid in oldest_first:
+            f_ = packed_frames[rid].withColumn("_src", F.lit(rid))
+            allp = f_ if allp is None else allp.unionByName(f_)
+        off_schema = "_src string, " + ", ".join(
+            f"{c} string" for c in key
+        ) + ", _off long"
+        off_df = spark.createDataFrame(off_rows, off_schema)
+        packed = (
+            allp.join(F.broadcast(off_df), ["_src", *key], "left")
+            .withColumn(
+                "bin_id",
+                F.col("bin_id") + F.coalesce(F.col("_off"), F.lit(0)),
+            )
+            .drop("_src", "_off")
+        )
+        writer = packed.write.mode("overwrite")
+        # same empty-write rule as run_curation: a zero-row
+        # partitionBy leaves no schema file
+        if all(stamped) and n_survivors > 0:
+            writer = writer.partitionBy("split")
+        writer.parquet(packed_path)
+        packed_back = spark.read.schema(packed.schema).parquet(packed_path)
+        n_chunks = packed_back.count()
+        n_bins = packed_back.select(*key, "bin_id").distinct().count()
+
+        # processed manifest: everything the chain ever evaluated
+        # (survivor-url fallback for runs committed before the
+        # manifest existed — same rule as the increment path)
+        parts = []
+        for rid in chain:
+            p = os.path.join(
+                out_dir, "curated", f"run_id={rid}", "processed"
+            )
+            parts.append(
+                spark.read.parquet(p) if os.path.isdir(p)
+                else spark.read.parquet(
+                    _survivors_path(out_dir, rid)
+                ).select("url")
+            )
+        processed = parts[0]
+        for p in parts[1:]:
+            processed = processed.unionByName(p)
+        processed.distinct().write.mode("overwrite").parquet(
+            os.path.join(run_dir, "processed")
+        )
+
+        # increment-serving manifests: stored artifacts where present
+        # and algorithm-compatible (no corpus re-minhash), recomputed
+        # from survivor text otherwise — _chain_bands' own rule
+        _chain_bands(spark, out_dir, chain).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(run_dir, "bands"))
+        _atomic_write(
+            os.path.join(run_dir, _BANDS_META), json.dumps(_band_meta())
+        )
+        h_parts = []
+        for rid in chain:
+            p = os.path.join(out_dir, "curated", f"run_id={rid}", "hashes")
+            h_parts.append(
+                spark.read.parquet(p) if os.path.isdir(p)
+                else spark.read.parquet(
+                    _survivors_path(out_dir, rid)
+                ).select(
+                    "url",
+                    F.md5(F.col("text").cast("binary")).alias(
+                        "content_hash"
+                    ),
+                )
+            )
+        hashes = h_parts[0]
+        for p in h_parts[1:]:
+            hashes = hashes.unionByName(p)
+        hashes.write.mode("overwrite").parquet(
+            os.path.join(run_dir, "hashes")
+        )
+
+        # lineage: one row — compaction drops nothing by construction
+        spark.createDataFrame(
+            [(run_id, 0, "compact", n_survivors, n_survivors, 0)],
+            "run_id string, stage_idx int, stage string, n_in long, "
+            "n_out long, n_dropped long",
+        ).write.mode("overwrite").parquet(lineage_path)
+
+        n = snap["n"] + 1
+        new_snap = {
+            "n": n,
+            "runs": sorted(set(snap["runs"]) | {run_id}),
+            "input_fingerprint": snap.get("input_fingerprint"),
+            "latest_run": run_id,
+            # a compacted run IS a base: no parent, chain of one —
+            # vacuum's ancestor closure then retains nothing extra
+            "run_parents": {
+                **snap.get("run_parents", {}), run_id: None,
+            },
+        }
+        if snap.get("vacuumed_runs"):
+            new_snap["vacuumed_runs"] = snap["vacuumed_runs"]
+        name = f"snapshot-{n}.json"
+        _atomic_write(os.path.join(ck, name), json.dumps(new_snap))
+        _atomic_write(os.path.join(ck, "LATEST"), name)
+    finally:
+        try:
+            os.remove(sentinel)
+        except OSError:
+            pass
+
+    return {
+        "run_id": run_id,
+        "snapshot": new_snap,
+        "compacted_runs": oldest_first,
+        "n_survivors": n_survivors,
+        "n_chunks": n_chunks,
+        "n_bins": n_bins,
+        "survivors_path": survivors_path,
+        "packed_path": packed_path,
+        "lineage_path": lineage_path,
+    }
