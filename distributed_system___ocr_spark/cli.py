@@ -65,6 +65,14 @@ def build_parser() -> argparse.ArgumentParser:
         "afterwards to reclaim the old chain (no input read)",
     )
     src.add_argument(
+        "--audit-curation", action="store_true",
+        help="maintenance mode: verify the committed curation chain's "
+        "dedup invariants from the thin hash/band manifests (no text "
+        "re-read); prints the violation count and a bounded sample — "
+        "non-empty means artifact corruption or minhash-algorithm "
+        "drift (full re-curate needed)",
+    )
+    src.add_argument(
         "--vacuum-curation", type=int, metavar="KEEP",
         help="maintenance mode: drop all but the newest KEEP committed "
         "curation runs in --output (plus crashed-run debris); vacuumed "
@@ -264,6 +272,17 @@ def main(argv: list[str] | None = None) -> int:
                           "wall_sec": round(time.monotonic() - t0, 3)}))
         spark.stop()
         return 0
+    if args.audit_curation:
+        from .curation import audit_curation_chain
+
+        v = audit_curation_chain(spark, args.output)
+        n = v.count()
+        sample = [r.asDict() for r in v.limit(20).collect()]
+        print(json.dumps({"audit_violations": n, "sample": sample,
+                          "wall_sec": round(time.monotonic() - t0, 3)}))
+        spark.stop()
+        # non-zero exit on violations: cron/orchestrator-friendly
+        return 1 if n else 0
     if args.curate:
         if not args.input:
             raise SystemExit("--curate requires --input (an extraction "

@@ -2004,26 +2004,9 @@ def compact_curation(
         _atomic_write(
             os.path.join(run_dir, _BANDS_META), json.dumps(_band_meta())
         )
-        h_parts = []
-        for rid in chain:
-            p = os.path.join(out_dir, "curated", f"run_id={rid}", "hashes")
-            h_parts.append(
-                spark.read.parquet(p) if os.path.isdir(p)
-                else spark.read.parquet(
-                    _survivors_path(out_dir, rid)
-                ).select(
-                    "url",
-                    F.md5(F.col("text").cast("binary")).alias(
-                        "content_hash"
-                    ),
-                )
-            )
-        hashes = h_parts[0]
-        for p in h_parts[1:]:
-            hashes = hashes.unionByName(p)
-        hashes.write.mode("overwrite").parquet(
-            os.path.join(run_dir, "hashes")
-        )
+        _chain_url_hashes(spark, out_dir, chain).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(run_dir, "hashes"))
 
         # lineage: one row — compaction drops nothing by construction
         spark.createDataFrame(
@@ -2066,3 +2049,102 @@ def compact_curation(
         "packed_path": packed_path,
         "lineage_path": lineage_path,
     }
+
+
+def _chain_url_hashes(
+    spark: SparkSession, out_dir: str, chain: list[str]
+) -> DataFrame:
+    """(url, content_hash) of every committed survivor in the chain:
+    stored per-run hash manifests where present, recomputed from
+    survivor text otherwise (the keyed twin of `_chain_hashes`, which
+    serves the increment anti-join and needs no url)."""
+    parts = []
+    for rid in chain:
+        p = os.path.join(out_dir, "curated", f"run_id={rid}", "hashes")
+        parts.append(
+            spark.read.parquet(p) if os.path.isdir(p)
+            else spark.read.parquet(
+                _survivors_path(out_dir, rid)
+            ).select(
+                "url",
+                F.md5(F.col("text").cast("binary")).alias("content_hash"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dedup_invariant_violations(
+    hashes: DataFrame, bands: DataFrame
+) -> DataFrame:
+    """Pairs of committed survivors that violate the dedup
+    invariants, from the THIN manifests alone (no text):
+
+    - ``exact_dup``: two survivors share a content hash — exact dedup
+      should have kept one;
+    - ``neardup_candidate``: two survivors share an LSH band value —
+      the exact candidate criterion the near-dup stage pruned on, so
+      a healthy corpus has none (within a run, two surviving
+      representatives of different components never share a band;
+      across runs, increments drop new docs colliding with committed
+      bands).
+
+    Inputs: ``hashes`` (url, content_hash), ``bands``
+    (id, band_idx, band_val). Returns (kind, a_id, b_id) with
+    a_id < b_id, distinct. Scale shape: one groupBy on the hash
+    manifest + the standard band-bucket self-join on 16 thin
+    rows/doc — both linear-shuffle over metadata, never text."""
+    w = Window.partitionBy("content_hash")
+    exact = (
+        hashes.withColumn("_a", F.min("url").over(w))
+        .filter(F.col("url") != F.col("_a"))
+        .select(
+            F.lit("exact_dup").alias("kind"),
+            F.col("_a").alias("a_id"),
+            F.col("url").alias("b_id"),
+        )
+    )
+    b2 = bands.select(
+        F.col("id").alias("_bid"),
+        "band_idx", "band_val",
+    )
+    near = (
+        bands.join(b2, ["band_idx", "band_val"])
+        .filter(F.col("id") < F.col("_bid"))
+        .select(
+            F.lit("neardup_candidate").alias("kind"),
+            F.col("id").alias("a_id"),
+            F.col("_bid").alias("b_id"),
+        )
+        .distinct()
+    )
+    return exact.distinct().unionByName(near)
+
+
+def audit_curation_chain(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Integrity audit of the latest committed chain's dedup
+    invariants WITHOUT re-reading corpus text — the cheap post-hoc
+    check a long-lived base + increments deployment runs after each
+    append/compact/vacuum cycle (the curation twin of a table
+    format's verify-snapshot maintenance).
+
+    Returns the violations frame of `dedup_invariant_violations` over
+    the chain's stored hash/band manifests — EMPTY on a healthy
+    chain. Non-empty output means either artifact corruption (a
+    survivors/manifest file edited or restored out of band) or an
+    algorithm drift: `_chain_bands` recomputes version-incompatible
+    stored bands with the CURRENT minhash, so survivors committed
+    under an older algorithm that collide under today's surface here
+    — the signal that the corpus needs a full re-curate even though
+    every individual run committed cleanly."""
+    snap = load_curation_snapshot(out_dir)
+    if not snap:
+        raise FileNotFoundError(f"no committed curation under {out_dir}")
+    head = snap.get("latest_run", snap["runs"][-1])
+    chain = _run_chain(snap, head)
+    return dedup_invariant_violations(
+        _chain_url_hashes(spark, out_dir, chain),
+        _chain_bands(spark, out_dir, chain),
+    )
