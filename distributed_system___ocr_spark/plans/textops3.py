@@ -671,3 +671,106 @@ def url_host_blocklist(spark, sf_dir):
             "doc_id", "lang", host_of(F.col("url")).alias("host")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# cross-split n-gram leakage audit (round 6)
+# --------------------------------------------------------------------------
+# The eval-integrity twin of decontaminate_ngram_overlap: there the
+# eval corpus is EXTERNAL (a benchmark suite, bounded, broadcast);
+# here the val/test splits of the corpus ITSELF are audited against
+# the train split — the check a training run performs before trusting
+# its held-out numbers, since a hash split is growth-stable but not
+# content-aware (near-duplicate docs can straddle the boundary).
+# Scale shape: the gram explode is linear in tokens and stages the
+# token array once; the join is a hash equi-join on the gram string
+# with the TRAIN gram vocabulary on one side — corpus-scale, so no
+# static broadcast (AQE decides at runtime); at 100 TB you would join
+# on xxhash64(g) to shrink shuffle bytes (collision-tolerant for a
+# fraction estimate) — kept as the exact string here for oracle
+# byte-parity. Per-doc aggregation is partial+final.
+
+
+@register(
+    "split_leakage_ngram",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN {{bucket}} < {_PACK_SPLIT_TRAIN} THEN 'train'
+                  WHEN {{bucket}} < {_PACK_SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split,
+             {_DUCK_TOKS_DECON} AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, split,
+             unnest(list_transform(generate_series(1, len(t) - 4),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                         t[i+3] || ' ' || t[i+4])) AS g
+      FROM toks WHERE len(t) >= {_DECON_N}
+    ),
+    train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+    ev AS (SELECT doc_id, split, g FROM grams WHERE split <> 'train')
+    SELECT e.doc_id, e.split,
+           CAST(count(DISTINCT CASE WHEN t.g IS NOT NULL THEN e.g END)
+                AS BIGINT) AS n_overlapping_grams,
+           count(DISTINCT e.g) AS n_grams,
+           round(count(DISTINCT CASE WHEN t.g IS NOT NULL THEN e.g END)
+                 / count(DISTINCT e.g), 6) AS overlap_frac,
+           count(DISTINCT CASE WHEN t.g IS NOT NULL THEN e.g END) > 0
+             AS is_leaked
+    FROM ev e LEFT JOIN train_g t USING (g)
+    GROUP BY 1, 2
+    """,
+)
+def split_leakage_ngram(spark, sf_dir):
+    """Per val/test doc: how many of its distinct 5-grams appear in
+    ANY train-split doc ("split:"-salted bucket, identical to
+    train_val_test_split, so the stamp agrees across queries)."""
+    from .textops2 import _spark_bucket
+
+    b = _spark_bucket(1_000_000, "split:")
+    split = (
+        F.when(b < _PACK_SPLIT_TRAIN, "train")
+        .when(b < _PACK_SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", split.alias("split"),
+        F.expr(_SPARK_TOKS_DECON).alias("t"),
+    ).filter(F.size("t") >= _DECON_N)
+    gram = F.expr(
+        "transform(sequence(1, size(t) - 4), i -> concat_ws(' ', "
+        "element_at(t, i), element_at(t, i+1), element_at(t, i+2), "
+        "element_at(t, i+3), element_at(t, i+4)))"
+    )
+    grams = d.select("doc_id", "split", F.explode(gram).alias("g"))
+    train_g = (
+        grams.filter(F.col("split") == "train")
+        .select("g").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ev = grams.filter(F.col("split") != "train")
+    joined = ev.join(train_g, "g", "left")
+    overlap = F.countDistinct(
+        F.when(F.col("_hit").isNotNull(), F.col("g"))
+    )
+    return joined.groupBy("doc_id", "split").agg(
+        overlap.cast("long").alias("n_overlapping_grams"),
+        F.countDistinct("g").alias("n_grams"),
+        F.round(overlap / F.countDistinct("g"), 6).alias("overlap_frac"),
+        (overlap > 0).alias("is_leaked"),
+    )
+
+
+def _split_leakage_patch_sql() -> None:
+    from .queries import REGISTRY
+    from .textops2 import _duck_bucket
+
+    REGISTRY["split_leakage_ngram"]["sql"] = (
+        REGISTRY["split_leakage_ngram"]["sql"]
+        .replace("{bucket}", _duck_bucket(1_000_000, "split:"))
+    )
+
+
+_split_leakage_patch_sql()

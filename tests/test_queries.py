@@ -47,6 +47,9 @@ def test_pair_producing_queries_are_nonempty(spark):
     gq = REGISTRY["gopher_quality_filters"]["builder"](spark, SF_DIR)
     kinds = {r["passes_gopher"] for r in gq.select("passes_gopher").distinct().collect()}
     assert kinds == {True, False}
+    sl = REGISTRY["split_leakage_ngram"]["builder"](spark, SF_DIR)
+    leak = {r["is_leaked"] for r in sl.select("is_leaked").distinct().collect()}
+    assert leak == {True, False}
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
