@@ -830,6 +830,7 @@ def exact_dedup_survivors_incremental(
     new_docs: DataFrame,
     base: DataFrame,
     base_hashes: DataFrame | None = None,
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """Keep-first exact dedup for an increment: among the new batch
     the min-url doc per exact text wins (same rule as the full form),
@@ -838,10 +839,27 @@ def exact_dedup_survivors_incremental(
     over the new batch + one hash anti-join against the base;
     ``base_hashes`` (the per-run stored manifests, `_chain_hashes`)
     keeps the anti-join off the base TEXT entirely — without it the
-    hashes are recomputed from survivor text (one linear pass)."""
+    hashes are recomputed from survivor text (one linear pass).
+
+    ``bloom_prefilter``: summarize the NEW batch's hashes in a bloom
+    and prune the corpus-sized base manifest in its scan stage, so
+    its non-matching bulk never shuffles into the anti-join (the
+    base:batch ratio is unbounded at 10^12 docs — without this every
+    increment sort-merge-shuffles the whole manifest). Output is
+    IDENTICAL either way: false negatives are impossible, false
+    positives fall through to the exact anti-join. Best with a
+    materialized ``new_docs`` (the composed chain's stage inputs are
+    checkpointed) — the bloom build re-reads it once."""
+    from .functions.bloom import bloom_semi_reduce
+
     h = F.md5(F.col("text").cast("binary"))
     if base_hashes is None:
         base_hashes = base.select(h.alias("content_hash")).distinct()
+    if bloom_prefilter:
+        base_hashes = bloom_semi_reduce(
+            new_docs.select(h.alias("content_hash")), base_hashes,
+            "content_hash", expected=new_docs.count(),
+        )
     w = Window.partitionBy("content_hash").orderBy("url")
     return (
         new_docs.withColumn("content_hash", h)
@@ -856,6 +874,7 @@ def neardup_survivors_incremental(
     new_docs: DataFrame,
     base: DataFrame,
     base_bands: DataFrame | None = None,
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """Keep-first near-dup pruning for an increment: band-join the
     new batch's signatures against (base ∪ new) bands; a new doc in
@@ -873,12 +892,30 @@ def neardup_survivors_incremental(
     ``base_bands`` the base signatures are recomputed from survivor
     text (one linear pass — the pre-persistence fallback). Components
     iterate on pair-touched vertices only, so the untouched bulk of
-    the base exits the loop immediately."""
+    the base exits the loop immediately.
+
+    ``bloom_prefilter``: summarize the new batch's (band_idx,
+    band_val) keys in a bloom and prune the corpus-sized band
+    manifest in its scan stage — non-colliding base bands (the vast
+    bulk) never shuffle into the pair join. Output IDENTICAL (no
+    false negatives; false positives only add join input); the new
+    bands are checkpointed once so the batch is minhashed once, not
+    once per consumer."""
+    from .functions.bloom import bloom_semi_reduce
     from .operators.neardup import minhash_bands
 
     new_bands = minhash_bands(new_docs, id_col="url", text_col="text")
+    if bloom_prefilter:
+        # materialize: the bloom build, the pair join's probe side and
+        # the union below would each re-run the minhash UDF otherwise
+        new_bands = new_bands.localCheckpoint()
     if base_bands is None:
         base_bands = minhash_bands(base, id_col="url", text_col="text")
+    if bloom_prefilter:
+        base_bands = bloom_semi_reduce(
+            new_bands, base_bands, ("band_idx", "band_val"),
+            expected=new_bands.count(),
+        )
     all_bands = new_bands.unionByName(base_bands)
     # pairs touching at least one NEW doc; canonical (min, max) order
     # so the same pair found from both sides dedupes in the distinct
@@ -909,6 +946,12 @@ def neardup_survivors_incremental(
         vertices, pairs,
         vertex_col="url", src="a_id", dst="b_id",
     )
+    # new_bands' checkpoint blocks are NOT freed eagerly here: unlike
+    # semdedup_survivors (whose vertex set comes straight from docs),
+    # this vertex set derives from the pair pipeline, so the returned
+    # frame still references new_bands lazily — an early release
+    # throws CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on collect. The blocks
+    # are new-batch-sized; the ContextCleaner reclaims them on GC.
     base_ids = base.select(F.col("url").alias("id"))
     # components containing ANY committed survivor: everything new in
     # them is a near-dup of committed work
@@ -1423,10 +1466,23 @@ def run_curation(
         # dedup stages in their keep-first against-the-chain form;
         # corpus-global stages were rejected above
         by_name = dict(stage_defs)
+        from .functions.bloom import bloom_semi_reduce
+
         stage_defs = [
             (
                 "resume_anti_join",
-                lambda df: df.join(processed, "url", "left_anti"),
+                # bloom semi-reduction: the processed manifest is
+                # corpus-sized and the batch is small — prune the
+                # manifest in its scan stage (no false negatives, so
+                # the exact anti-join still drops every processed
+                # url; false positives only add join input)
+                lambda df: df.join(
+                    bloom_semi_reduce(
+                        df.select("url"), processed, "url",
+                        expected=n_input,
+                    ),
+                    "url", "left_anti",
+                ),
             ),
             ("url_blocklist", by_name["url_blocklist"]),
             ("quality_gate", by_name["quality_gate"]),
@@ -1439,13 +1495,15 @@ def run_curation(
             (
                 "exact_dedup",
                 lambda df: exact_dedup_survivors_incremental(
-                    df, base, base_hashes=base_hashes
+                    df, base, base_hashes=base_hashes,
+                    bloom_prefilter=True,
                 ),
             ),
             (
                 "neardup_prune",
                 lambda df: neardup_survivors_incremental(
-                    df, base, base_bands=base_bands
+                    df, base, base_bands=base_bands,
+                    bloom_prefilter=True,
                 ),
             ),
             ("decontaminate", by_name["decontaminate"]),

@@ -52,10 +52,14 @@ def _params(expected: int, fpp: float) -> tuple[int, int]:
     return m, k
 
 
-def _hash_cols(col: str):
+def _hash_cols(col):
+    """col: one column name or a sequence of names (a composite key
+    hashes all parts in one xxhash64 call — no string concat)."""
+    cols = [col] if isinstance(col, str) else list(col)
+    parts = [F.col(c) for c in cols]
     return (
-        F.xxhash64(F.col(col)).alias("_bh1"),
-        F.xxhash64(F.col(col), F.lit(_H2_SEED)).alias("_bh2"),
+        F.xxhash64(*parts).alias("_bh1"),
+        F.xxhash64(*parts, F.lit(_H2_SEED)).alias("_bh2"),
     )
 
 
@@ -110,3 +114,28 @@ def with_bloom_flag(
         .withColumn(flag, probe(F.col("_bh1"), F.col("_bh2")))
         .drop("_bh1", "_bh2")
     )
+
+
+def bloom_semi_reduce(
+    small: DataFrame,
+    large: DataFrame,
+    col,
+    expected: int,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Filter ``large`` to rows whose key PROBABLY appears in
+    ``small`` — the bloom semi-join reduction, pointed the OTHER way
+    from the resume prefilter: there the bloom summarizes the big
+    processed set to split the input; here it summarizes the SMALL
+    side (an increment batch) so the corpus-sized side (a chain's
+    hash/band manifest) is pruned in its scan stage and never
+    shuffles its non-matching bulk into the sort-merge join. False
+    negatives are impossible, so the downstream exact join still sees
+    every true match; false positives only add join input. ``col`` is
+    one column name or a sequence (composite key); ``expected`` sizes
+    the bitset from the small side's row count (over-estimating only
+    costs bits, under-estimating only raises fpp — correctness is
+    unaffected either way)."""
+    bloom = build_bloom(small, col, expected, fpp)
+    flagged = with_bloom_flag(large, col, bloom, flag="_bloom_hit")
+    return flagged.filter(F.col("_bloom_hit")).drop("_bloom_hit")

@@ -491,3 +491,91 @@ def test_two_phase_pack_equality_randomized(spark):
             ).collect()
         }
         assert got == want and len(got) == len(rows), (trial, target)
+
+
+def test_bloom_semi_reduce_prunes_without_false_negatives(spark):
+    """The increment-direction reduction: every large-side row whose
+    key exists on the small side survives (no false negatives — the
+    downstream exact join's correctness), and the non-matching bulk
+    is actually pruned (the point of the filter; with fpp=1e-4 over
+    2k keys a >50% survival of 20k non-matches would mean the probe
+    is broken, not unlucky)."""
+    import pandas as pd
+
+    from distributed_system___ocr_spark.functions.bloom import (
+        bloom_semi_reduce,
+    )
+
+    small = spark.createDataFrame(pd.DataFrame(
+        {"k1": [f"key{i:05d}" for i in range(2000)],
+         "k2": [i % 7 for i in range(2000)]}
+    ))
+    large = spark.createDataFrame(pd.DataFrame(
+        {"k1": [f"key{i:05d}" for i in range(20000)],
+         "k2": [i % 7 for i in range(20000)],
+         "v": list(range(20000))}
+    ))
+    got = bloom_semi_reduce(
+        small, large, ("k1", "k2"), expected=2000, fpp=1e-4
+    )
+    kept = {r["v"] for r in got.collect()}
+    assert set(range(2000)) <= kept          # no false negatives
+    assert len(kept) < 2000 + 2000           # pruning actually bites
+    assert got.columns == large.columns      # helper cols dropped
+
+
+def test_incremental_dedup_bloom_equals_exact(spark):
+    """bloom_prefilter=True must be output-IDENTICAL to the plain
+    anti-join path for both incremental dedup helpers (the bloom only
+    prunes join input; false positives fall through, false negatives
+    are impossible)."""
+    import pandas as pd
+
+    from distributed_system___ocr_spark.curation import (
+        exact_dedup_survivors_incremental,
+        neardup_survivors_incremental,
+    )
+
+    base_rows = [
+        {"url": f"https://a.com/b{i:03d}",
+         "text": "base doc %03d " % i
+         + " ".join(f"b{i:03d}w{j:02d}" for j in range(60)),
+         "lang": "en"}
+        for i in range(30)
+    ]
+    base = spark.createDataFrame(pd.DataFrame(base_rows))
+    new_rows = [
+        {"url": f"https://z.com/n{i:03d}",
+         "text": "novel doc %03d " % i
+         + " ".join(f"n{i:03d}w{j:02d}" for j in range(60)),
+         "lang": "en"}
+        for i in range(10)
+    ]
+    # exact clone + near clone of base survivors, and an in-batch pair
+    new_rows.append({"url": "https://z.com/exact",
+                     "text": base_rows[3]["text"], "lang": "en"})
+    new_rows.append({"url": "https://z.com/near",
+                     "text": base_rows[5]["text"].replace(
+                         "b005w30", "tweak"), "lang": "en"})
+    new = spark.createDataFrame(pd.DataFrame(new_rows))
+
+    for helper in (
+        exact_dedup_survivors_incremental,
+        neardup_survivors_incremental,
+    ):
+        plain = {
+            r["url"]
+            for r in helper(new, base, bloom_prefilter=False).collect()
+        }
+        bloomed = {
+            r["url"]
+            for r in helper(new, base, bloom_prefilter=True).collect()
+        }
+        assert bloomed == plain, helper.__name__
+        assert "https://z.com/exact" not in bloomed
+    assert "https://z.com/near" not in {
+        r["url"]
+        for r in neardup_survivors_incremental(
+            new, base, bloom_prefilter=True
+        ).collect()
+    }
