@@ -12,7 +12,11 @@ wrappers are provided:
 - :func:`extract_foreach_batch` — the extraction stage driven by a
   file-source stream with ``foreachBatch`` committing each micro-batch
   through the SAME snapshot/resume layer as batch runs, so streaming
-  output is exactly-once too.
+  output is exactly-once too;
+- :func:`curate_foreach_batch` — continuous curation: batch 0
+  bootstraps a full curation, every later micro-batch appends as a
+  ``run_curation_increment``, replayed batches skip via the snapshot
+  log (exactly-once for the whole chain).
 """
 
 from __future__ import annotations
@@ -313,3 +317,82 @@ def stateful_user_counts_stream(
     finally:
         q.stop()
     return spark.table(table_name)
+
+
+def curate_foreach_batch(
+    spark: SparkSession,
+    docs_path: str,
+    out_dir: str,
+    run_prefix: str = "curate",
+    checkpoint_dir: str | None = None,
+    options: dict | None = None,
+    **curation_kwargs,
+) -> list[dict]:
+    """Continuous curation: micro-batches of extracted docs
+    (url, text, lang) append to ONE committed curation chain — the
+    streaming face of ``run_curation_increment``. A crawl lands as
+    files; the first batch against an empty ``out_dir`` bootstraps
+    the base with a full ``run_curation``, every later batch curates
+    keep-first against everything committed (reference analogue: the
+    manager's queue feeding one long-lived accounting state, O14/O15).
+
+    Exactly-once: each batch commits as run_id ``{run_prefix}-{epoch}``
+    under the atomic snapshot; a REPLAYED batch (restart from the
+    stream checkpoint re-delivers the last uncommitted offsets with
+    the same epoch id and content) finds its run_id committed and
+    SKIPS — checked against the snapshot log up front, not recovered
+    from the replay-guard ValueError. Reuse the same
+    ``checkpoint_dir`` across restarts: the epoch->content mapping is
+    only stable under the stream checkpoint's offset log (a fresh
+    checkpoint renumbers epochs, same caveat as extract_foreach_batch).
+
+    ``curation_kwargs`` apply to the bootstrap AND every increment,
+    so only increment-safe per-doc stages are accepted; corpus-global
+    stage knobs are rejected HERE (fail fast) rather than on batch 2
+    inside the stream."""
+    from ..curation import (
+        load_curation_snapshot,
+        run_curation,
+        run_curation_increment,
+    )
+
+    for k in (
+        "remove_spans_min_docs", "segment_dedup_n", "semdedup_tau",
+        "lm_quality_drop_z", "cluster_alpha", "sample_alpha",
+    ):
+        if curation_kwargs.get(k) is not None:
+            raise ValueError(
+                f"{k} is a corpus-global stage — its statistics are "
+                "properties of the whole corpus, so it cannot run "
+                "per micro-batch; run a full batch re-curate instead"
+            )
+    stream = _stream_parquet(spark, docs_path, options)
+    results: list[dict] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        rid = f"{run_prefix}-{epoch_id}"
+        snap = load_curation_snapshot(out_dir)
+        if snap and (
+            rid in snap.get("runs", [])
+            or rid in snap.get("vacuumed_runs", [])
+        ):
+            results.append({"run_id": rid, "skipped_replay": True})
+            return
+        if snap is None:
+            results.append(run_curation(
+                spark, batch_df, out_dir, run_id=rid, **curation_kwargs
+            ))
+        else:
+            results.append(run_curation_increment(
+                spark, batch_df, out_dir, run_id=rid, **curation_kwargs
+            ))
+
+    writer = stream.writeStream.foreachBatch(handle)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return results
