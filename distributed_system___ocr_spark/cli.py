@@ -96,6 +96,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-stride", type=int, default=1792)
     p.add_argument("--pack-target", type=int, default=8192)
     p.add_argument(
+        "--canonicalize-urls", action="store_true",
+        help="switch on URL canonicalization as the chain's first "
+        "stage: lowercase scheme/host, drop default ports and "
+        "fragments, resolve ./ and ../, sort query params, and "
+        "collapse spelling twins keep-first — BEFORE any url-keyed "
+        "decision (resume, dedup, domain cap); an increment must "
+        "match its committed chain's setting",
+    )
+    p.add_argument(
         "--blocked-domains", default=None,
         help="switch on the URL blocklist (first cut): a "
         "comma-separated domain list, or a parquet path (first "
@@ -308,6 +317,7 @@ def main(argv: list[str] | None = None) -> int:
             chunk_size=args.chunk_size,
             chunk_stride=args.chunk_stride,
             pack_target=args.pack_target,
+            canonicalize_urls=args.canonicalize_urls,
             blocked_domains=_blocked_domains_arg(
                 args.blocked_domains, spark
             ),

@@ -2,6 +2,7 @@
 extraction.
 
     docs(url, text, lang)
+      --[opt-in URL canonicalization: spelling twins collapse]-->
       --[opt-in quality gate: length bounds + repetition cut]-->
       --[opt-in per-url-host domain cap (C4-style quota)]-->
       --[opt-in cross-doc boilerplate span removal]-->
@@ -60,6 +61,7 @@ from .operators.components import _free_ckpt, connected_components
 from .operators.neardup import minhash_lsh_pairs_scale
 from .operators.packing import greedy_pack_bins, monotone_hash_bucket
 from .operators.resume import _atomic_write
+from .operators.urlcanon import URL_CANON_VERSION, canonicalize_docs
 from .operators.diversify import CLUSTER_BALANCE_VERSION
 from .operators.semdedup import SEMDEDUP_EMBED_VERSION
 from .operators.urlfilter import URL_FILTER_VERSION, filter_blocked_domains
@@ -1108,6 +1110,7 @@ def run_curation(
     chunk_size: int = 2048,
     chunk_stride: int = 1792,
     pack_target: int = 8192,
+    canonicalize_urls: bool = False,
     blocked_domains: list | DataFrame | None = None,
     quality_min_chars: int | None = None,
     quality_max_chars: int | None = None,
@@ -1305,6 +1308,10 @@ def run_curation(
         CURATION_DATAFLOW_VERSION, TOKEN_HASH_VERSION, N_HASHES, BAND_SIZE,
     ]
     fp["config"] = [chunk_size, chunk_stride, pack_target]
+    if canonicalize_urls:
+        # a changed canonicalization changes url identity, hence every
+        # url-keyed decision downstream
+        fp["url_canon"] = URL_CANON_VERSION
     if blocked_domains is not None:
         if isinstance(blocked_domains, DataFrame):
             # the blocklist's CONTENT is an input: a grown list must
@@ -1391,6 +1398,14 @@ def run_curation(
     # lineage row records n_in == n_out)
     stage_defs: list[tuple[str, object]] = [
         (
+            "url_canonicalize",
+            # identity first: spelling twins must collapse BEFORE any
+            # url-keyed decision (resume, dedup tie-breaks, host
+            # quotas, packing keys) — one hash window, scan-stage
+            # string ops otherwise (operators/urlcanon.py)
+            canonicalize_docs if canonicalize_urls else None,
+        ),
+        (
             "url_blocklist",
             # first cut: provenance-only, reads no text — at 100 TB
             # every downstream stage's input shrinks by the block rate
@@ -1468,7 +1483,23 @@ def run_curation(
         by_name = dict(stage_defs)
         from .functions.bloom import bloom_semi_reduce
 
+        # the committed chain's url identity and the batch's must
+        # agree: a canonicalized batch over a raw-url base (or the
+        # reverse) silently misses every resume/dedup collision
+        base_canon = "url_canon" in (prev.get("input_fingerprint") or {})
+        if canonicalize_urls != base_canon:
+            raise ValueError(
+                "canonicalize_urls must match the committed chain "
+                f"(base {'did' if base_canon else 'did not'} "
+                "canonicalize; this increment "
+                f"{'does' if canonicalize_urls else 'does not'}) — "
+                "url identity drives resume and keep-first dedup"
+            )
         stage_defs = [
+            (
+                "url_canonicalize",
+                by_name["url_canonicalize"],
+            ),
             (
                 "resume_anti_join",
                 # bloom semi-reduction: the processed manifest is

@@ -205,7 +205,16 @@ def canonicalize_urls(spark, sf_dir):
     fragment, lowercase scheme+host, drop default ports, resolve
     ./ and ../ segments (bounded), sort query parameters. The step
     before url-keyed dedup/resume so byte-different spellings of one
-    resource collide."""
+    resource collide. The staged logic lives in operators/urlcanon.py
+    (shared with run_curation's opt-in canonicalize stage — this
+    oracle pins it; round-6 one-copy rule)."""
+    from ..operators.urlcanon import (
+        canonical_host,
+        canonical_parts,
+        canonical_path,
+        canonical_query,
+    )
+
     d = _t(spark, sf_dir, "documents")
     raw = F.concat(
         F.lit("HTTPS://WWW."), F.col("source"),
@@ -215,34 +224,17 @@ def canonicalize_urls(spark, sf_dir):
         F.lit("#frag"), F.col("doc_id").cast("string"),
     )
     s1 = d.select("doc_id", raw.alias("url_raw"))
-    nofrag = F.regexp_replace("url_raw", "#.*$", "")
+    scheme, hostport, path, query = canonical_parts(F.col("url_raw"))
     s2 = s1.select(
         "doc_id", "url_raw",
-        F.lower(F.regexp_extract(nofrag, "^([A-Za-z]+)://", 1))
-        .alias("scheme"),
-        F.lower(F.regexp_extract(nofrag, "^[A-Za-z]+://([^/?]+)", 1))
-        .alias("hostport"),
-        F.regexp_extract(nofrag, "^[A-Za-z]+://[^/?]*([^?]*)", 1)
-        .alias("path"),
-        F.regexp_extract(nofrag, r"\?(.*)$", 1).alias("query"),
-    )
-    host = F.when(
-        ((F.col("scheme") == "https") & F.col("hostport").endswith(":443"))
-        | ((F.col("scheme") == "http") & F.col("hostport").endswith(":80")),
-        F.regexp_replace("hostport", ":[0-9]+$", ""),
-    ).otherwise(F.col("hostport"))
-    cpath = F.col("path")
-    for pat in ("/\\./", "/\\./", "/[^/]+/\\.\\./", "/[^/]+/\\.\\./"):
-        cpath = F.regexp_replace(cpath, pat, "/")
-    cq = F.when(F.col("query") == "", F.lit("")).otherwise(
-        F.concat(
-            F.lit("?"),
-            F.array_join(F.array_sort(F.split("query", "&")), "&"),
-        )
+        scheme.alias("scheme"), hostport.alias("hostport"),
+        path.alias("path"), query.alias("query"),
     )
     s3 = s2.select(
-        "doc_id", "url_raw", "scheme", host.alias("host"),
-        cpath.alias("cpath"), cq.alias("cq"),
+        "doc_id", "url_raw", "scheme",
+        canonical_host(F.col("scheme"), F.col("hostport")).alias("host"),
+        canonical_path(F.col("path")).alias("cpath"),
+        canonical_query(F.col("query")).alias("cq"),
     )
     return s3.select(
         "doc_id", "url_raw",
