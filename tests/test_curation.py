@@ -511,7 +511,8 @@ def test_temperature_sampling_stage_rebalances(spark, tmp_path):
 
 
 _ALL_STAGE_NAMES = [
-    "input", "url_blocklist", "quality_gate", "domain_cap",
+    "input", "url_canonicalize", "url_blocklist", "quality_gate",
+    "domain_cap",
     "span_removal", "segment_dedup", "exact_dedup", "neardup_prune",
     "semdedup", "decontaminate", "lm_quality", "cluster_balance",
     "temperature_sample", "split_stamp", "chunk", "pack",
@@ -529,6 +530,7 @@ def test_all_stages_compose_in_one_run(spark, tmp_path):
         {"text": " ".join(f"w005q{j:02d}" for j in range(5))},
     ]))
     kwargs = dict(
+        canonicalize_urls=True,
         quality_min_chars=50, quality_dup_bigram_max=0.8,
         domain_cap=100, remove_spans_min_docs=3,
         segment_dedup_n=64,  # wide tiles: rewrites only exact-tile dups
