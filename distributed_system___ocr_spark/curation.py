@@ -1584,13 +1584,19 @@ def run_curation(
     with open(sentinel, "w") as f:
         f.write(str(os.getpid()))
     try:
+        import time as _time
+
         measured: dict[str, int] = {}
+        # per-stage wall seconds (diagnostic only — lineage counts are
+        # the contract; this feeds OPTIMIZATION round measurements)
+        stage_sec: dict[str, float] = {}
         enabled = [(nm, fn) for nm, fn in stage_defs if fn is not None]
         last_enabled = enabled[-1][0]
         processed_written = False
         try:
             cur, prev_cached = docs, None
             for nm, fn in enabled:
+                _t0 = _time.monotonic()
                 cur = fn(cur)
                 if nm != last_enabled:
                     # checkpoint + count intermediates: each enabled
@@ -1598,6 +1604,7 @@ def run_curation(
                     # the successor's (often multi-pass) dataflow
                     cur, measured[nm] = _materialize(cur, prev_cached)
                     prev_cached = cur
+                    stage_sec[nm] = round(_time.monotonic() - _t0, 3)
                     if nm == "resume_anti_join":
                         # processed manifest (incremental): every url
                         # this run EVALUATED — what a later increment
@@ -1609,11 +1616,13 @@ def run_curation(
                             "overwrite"
                         ).parquet(os.path.join(run_dir, "processed"))
                         processed_written = True
+            _t0 = _time.monotonic()
             if split_fracs is not None:
                 # count-preserving: stamps the deterministic split on
                 # the final survivor set just before the write
                 cur = stamp_split(cur, split_fracs[0], split_fracs[1])
             cur.write.mode("overwrite").parquet(survivors_path)
+            stage_sec[last_enabled] = round(_time.monotonic() - _t0, 3)
             if not processed_written:
                 # full run: every non-blank input url was evaluated —
                 # a thin url-only projection straight off the scan
@@ -1631,7 +1640,9 @@ def run_curation(
         # survivor bands: what a future increment band-joins against
         # instead of re-minhashing this run's survivors (O(new) vs
         # O(corpus) per increment); survivors-sized, thin
+        _t0 = _time.monotonic()
         _write_survivor_bands(survivors, run_dir)
+        stage_sec["_survivor_bands"] = round(_time.monotonic() - _t0, 3)
 
         # per-stage lineage counts: disabled stages pass through
         stage_out: dict[str, int] = {}
@@ -1641,6 +1652,7 @@ def run_curation(
             n_prev = stage_out[nm]
 
         split_extra = ("split",) if split_fracs is not None else ()
+        _t0 = _time.monotonic()
         packed = pack_chunks_greedy(
             chunk_docs(
                 survivors, chunk_size, chunk_stride,
@@ -1670,6 +1682,7 @@ def run_curation(
         n_bins = packed_back.select(
             "lang", *split_extra, "bin_id"
         ).distinct().count()
+        stage_sec["_chunk_pack"] = round(_time.monotonic() - _t0, 3)
 
         stages = [("input", n_raw, n_input)]  # raw -> non-blank (O2)
         n_prev = n_input
@@ -1738,6 +1751,7 @@ def run_curation(
         "n_survivors": n_survivors,
         "n_chunks": n_chunks,
         "n_bins": n_bins,
+        "stage_sec": stage_sec,
         "survivors_path": survivors_path,
         "packed_path": packed_path,
         "lineage_path": lineage_path,

