@@ -68,17 +68,26 @@ def connected_components(
     """vertices(id) + edges(src, dst) -> (id, component) where
     component = min vertex id reachable. Undirected (edges are
     symmetrized here). Raises if not converged in max_iterations."""
+    # self-loops (v, v) ride in the SAME checkpointed edge frame: they
+    # make each round's neighborhood min INCLUDE the vertex's own
+    # label, so a round is ONE join + ONE aggregation — the agg
+    # carries the old label out via min(when(d == s)) (the self-loop
+    # row), and the changed count becomes a light scan of the freshly
+    # checkpointed result. The previous shape paid a second
+    # labels-sized join for the least() merge and a THIRD join for the
+    # changed count, per round (r07 optimization; result-identical,
+    # pinned by the existing equality tests).
+    symm = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    )
     sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .unionByName(
-            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-        )
+        symm.unionByName(symm.select(F.col("s"), F.col("s").alias("d")))
         .distinct()
         .localCheckpoint()  # materialize the edge pipeline ONCE
     )
 
     # only pair-touched vertices iterate (sym is symmetrized, so the
-    # s column alone covers both endpoints)
+    # s column alone covers both endpoints; self-loops add no vertex)
     labels = (
         sym.select(F.col("s").alias("id"))
         .distinct()
@@ -89,30 +98,21 @@ def connected_components(
     try:
         converged = False
         for _ in range(max_iterations):
-            neighbor_min = (
-                sym.join(labels, sym["d"] == labels["id"])
-                .groupBy("s")
-                .agg(F.min("component").alias("nmin"))
-            )
             new_labels = (
-                labels.join(
-                    neighbor_min, labels["id"] == neighbor_min["s"], "left"
+                sym.join(labels, F.col("d") == labels["id"])
+                .groupBy("s")
+                .agg(
+                    F.min("component").alias("component"),
+                    F.min(
+                        F.when(F.col("d") == F.col("s"), F.col("component"))
+                    ).alias("_old"),
                 )
-                .select(
-                    "id",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("nmin"), F.col("component")),
-                    ).alias("component"),
-                )
+                .select(F.col("s").alias("id"), "component", "_old")
                 .localCheckpoint()  # eager: materialized right here
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
+            changed = new_labels.filter(
+                F.col("component") != F.col("_old")
+            ).count()
             _free_ckpt(labels)  # superseded — release its blocks now
             labels = new_labels
             if changed == 0:

@@ -71,26 +71,35 @@ def bounded_training_input(emb: DataFrame, cap: int) -> DataFrame:
 
 def _collect_sorted(emb: DataFrame):
     """Sample rows -> (ids, V) in ascending-id order: the fixed row
-    order is what makes the local float math bit-deterministic."""
-    rows = emb.collect()
-    rows.sort(key=lambda r: r["_id"])
-    ids = [r["_id"] for r in rows]
-    V = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    order is what makes the local float math bit-deterministic.
+    Collected via Arrow (toPandas) — the row-based collect() pickled
+    every vector element as a Python object and dominated the train
+    wall; values and order are identical."""
+    pdf = emb.toPandas()
+    if len(pdf) == 0:
+        return [], np.empty((0, 0), dtype=np.float64)
+    pdf = pdf.sort_values("_id", kind="mergesort")
+    ids = pdf["_id"].tolist()
+    V = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in pdf["v"].to_numpy()]
+    )
     return ids, V
 
 
 def _assign_local(V: np.ndarray, cents: list[list[float]]) -> np.ndarray:
-    """Strict-order argmin, same expansion as ivf_cell_udf (0-based)."""
+    """Strict-order argmin, same expansion as ivf_cell_udf (0-based).
+    Dots via the one-op-per-dim matrix kernel (bit-identical to the
+    per-centroid loop it replaces — each element still accumulates in
+    strict d order; k x d numpy dispatches were the training wall at
+    k ~ sqrt(N))."""
+    from ..functions.vectors import _seq_dot_mat
+
     vv = np.zeros(V.shape[0], dtype=np.float64)
     for d in range(V.shape[1]):
         vv = vv + V[:, d] * V[:, d]
-    dmat = np.empty((V.shape[0], len(cents)), dtype=np.float64)
-    for j, c in enumerate(cents):
-        ca = np.asarray(c, dtype=np.float64)
-        dot = np.zeros(V.shape[0], dtype=np.float64)
-        for d in range(V.shape[1]):
-            dot = dot + V[:, d] * ca[d]
-        dmat[:, j] = (vv - 2.0 * dot) + sum(x * x for x in c)
+    C = np.stack([np.asarray(c, dtype=np.float64) for c in cents])
+    sq = np.array([sum(x * x for x in c) for c in cents])
+    dmat = (vv[:, None] - 2.0 * _seq_dot_mat(V, C)) + sq[None, :]
     return np.argmin(dmat, axis=1)
 
 

@@ -29,7 +29,7 @@ import pandas as pd  # module level: pandas_udf string hints resolve here
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import _seq_dot, _seq_dot_vec, _stack, ivf_cell_udf
+from ..functions.vectors import _seq_dot, _seq_dot_mat, _stack, ivf_cell_udf
 from .kmeans import (
     _collect_sorted,
     _lloyd_local,
@@ -163,9 +163,12 @@ def pq_codes_udf(codebooks: list[list[list[float]]]):
     of M keeps both the driver-side plan build (M pandas_udf
     registrations) and the worker-side column passes flat in M."""
     cbs = [
-        [np.asarray(c, dtype=np.float64) for c in cb] for cb in codebooks
+        np.stack([np.asarray(c, dtype=np.float64) for c in cb])
+        for cb in codebooks
     ]
-    sqs = [[sum(x * x for x in c) for c in cb] for cb in codebooks]
+    sqs = [
+        np.array([sum(x * x for x in c) for c in cb]) for cb in codebooks
+    ]
     sub = len(codebooks[0][0])
 
     @F.pandas_udf("array<int>")
@@ -175,9 +178,8 @@ def pq_codes_udf(codebooks: list[list[list[float]]]):
         for j, (cb, sq) in enumerate(zip(cbs, sqs)):
             b = a[:, j * sub : (j + 1) * sub]
             bb = _seq_dot(b, b)
-            d = np.empty((a.shape[0], len(cb)), dtype=np.float64)
-            for i, (c, s) in enumerate(zip(cb, sq)):
-                d[:, i] = (bb - 2.0 * _seq_dot_vec(b, c)) + s
+            # strict-order dots via the matrix kernel (bit-identical)
+            d = (bb[:, None] - 2.0 * _seq_dot_mat(b, cb)) + sq[None, :]
             out[:, j] = np.argmin(d, axis=1)
         return pd.Series(list(out))
 
