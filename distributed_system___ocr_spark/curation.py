@@ -384,20 +384,24 @@ def remove_boilerplate_spans(
         .select("url", F.posexplode(grams_expr).alias("s0", "g"))
         .select("url", (F.col("s0") + 1).alias("s"), "g")
     )
-    common = (
-        grams.groupBy("g")
-        .agg(F.countDistinct("url").alias("cd"))
-        .filter(F.col("cd") >= min_docs)
-        .select("g")
-    )
     # covered positions aggregate to ONE array per doc (shuffle
     # bounded by MATCHED grams only); the rebuild is then a per-row
     # array program — keep_pos = array_except(1..n, cov) (hash-set
     # linear), kept = transform(keep_pos, p -> t[p]) — so the token
     # stream itself never crosses a shuffle (round-5: the round-4
     # shape token-exploded the corpus and re-collected every doc).
+    # Round-7: the gram document-frequency is annotated IN PLACE with
+    # a window over the gram partition (dense_rank by url peaks at the
+    # distinct-doc count; max fans it back — both spill-safe) instead
+    # of a groupBy + join back, so the corpus-sized tokenize+gram
+    # explode executes ONCE, not twice. Same output (registry twin
+    # remove_common_spans pins the formulation against the oracle).
+    dr = F.dense_rank().over(Window.partitionBy("g").orderBy("url"))
+    cd = F.max("_dr").over(Window.partitionBy("g"))
     cov = (
-        grams.join(common, "g")
+        grams.withColumn("_dr", dr)
+        .withColumn("_cd", cd)
+        .filter(F.col("_cd") >= min_docs)
         .select(
             "url",
             F.explode(
@@ -613,10 +617,10 @@ def lm_quality_survivors(docs: DataFrame, drop_z: float) -> DataFrame:
         .groupBy("url", "term")
         .agg(F.count("*").alias("cnt"))
     )
-    tf = dtf.groupBy("term").agg(F.sum("cnt").alias("ctf"))
     tot = docs.agg(
         F.sum(F.size(F.expr(toks_expr))).alias("n_total")
     )  # no-explode scan-sum == counting exploded instances
+    tf = dtf.groupBy("term").agg(F.sum("cnt").alias("ctf"))
     lp = tf.crossJoin(F.broadcast(tot)).select(
         "term",
         F.round(F.log(F.col("ctf") / F.col("n_total")), 9)
@@ -634,30 +638,30 @@ def lm_quality_survivors(docs: DataFrame, drop_z: float) -> DataFrame:
         )
     )
     sl = docs.select("url", "lang").join(score, "url")
-    stats = sl.groupBy("lang").agg(
-        F.count("*").alias("_n"),
-        F.sum(F.round(F.col("_s"), 6).cast("decimal(20,6)"))
-        .cast("double").alias("_sum_s"),
-        F.sum(F.round(F.col("_s") * F.col("_s"), 9).cast("decimal(25,9)"))
-        .cast("double").alias("_sum_s2"),
+    # round-7: the per-lang stats are a WINDOW over the lang partition
+    # of the scored rows instead of a groupBy + broadcast-join back —
+    # `sl` previously fed both the stats aggregate and the keep
+    # filter, so the whole corpus-sized score pipeline executed twice.
+    # Sums stay decimal-exact so the kept set is identical (the
+    # registry twin lm_quality_zbuckets pins the formulation against
+    # the oracle).
+    wl = Window.partitionBy("lang")
+    n = F.count("*").over(wl)
+    sum_s = (
+        F.sum(F.round(F.col("_s"), 6).cast("decimal(20,6)")).over(wl)
+        .cast("double")
     )
-    b = stats.select(
-        "lang",
-        (F.col("_sum_s") / F.col("_n")).alias("_mu"),
-        F.sqrt(
-            F.greatest(
-                (F.col("_sum_s2")
-                 - F.col("_sum_s") * F.col("_sum_s") / F.col("_n"))
-                / F.col("_n"),
-                F.lit(0.0),
-            )
-        ).alias("_sigma"),
+    sum_s2 = (
+        F.sum(F.round(F.col("_s") * F.col("_s"), 9).cast("decimal(25,9)"))
+        .over(wl).cast("double")
+    )
+    mu = sum_s / n
+    sigma = F.sqrt(
+        F.greatest((sum_s2 - sum_s * sum_s / n) / n, F.lit(0.0))
     )
     keep = (
-        sl.join(F.broadcast(b), "lang")
-        .filter(
-            F.col("_s") >= F.col("_mu") - drop_z * F.col("_sigma")
-        )
+        sl.withColumn("_keep", F.col("_s") >= mu - drop_z * sigma)
+        .filter(F.col("_keep"))
         .select("url")
     )
     return docs.join(keep, "url", "left_semi")

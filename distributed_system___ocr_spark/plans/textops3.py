@@ -737,13 +737,20 @@ def split_leakage_ngram(spark, sf_dir):
         "element_at(t, i+3), element_at(t, i+4)))"
     )
     grams = d.select("doc_id", "split", F.explode(gram).alias("g"))
-    train_g = (
-        grams.filter(F.col("split") == "train")
-        .select("g").distinct()
-        .withColumn("_hit", F.lit(1))
+    # round-7: annotate "appears in ANY train doc" with one window max
+    # over the gram partition instead of a distinct + join back — the
+    # corpus-sized tokenize+gram explode executes ONCE, not twice
+    # (train_g and ev were separate subtrees over grams); _hit is
+    # non-null iff the gram group contains a train row, exactly the
+    # left-join hit the oracle encodes
+    from pyspark.sql import Window
+
+    hit = F.max(F.when(F.col("split") == "train", 1)).over(
+        Window.partitionBy("g")
     )
-    ev = grams.filter(F.col("split") != "train")
-    joined = ev.join(train_g, "g", "left")
+    joined = grams.withColumn("_hit", hit).filter(
+        F.col("split") != "train"
+    )
     overlap = F.countDistinct(
         F.when(F.col("_hit").isNotNull(), F.col("g"))
     )
