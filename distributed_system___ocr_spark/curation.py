@@ -142,6 +142,21 @@ def _inflight_path(out_dir: str, run_id: str) -> str:
     return os.path.join(_ckpt(out_dir), f"{_INFLIGHT_PREFIX}{run_id}")
 
 
+def _pid_start(pid: int) -> int | None:
+    """Kernel start time (clock ticks since boot) of ``pid`` from
+    /proc — the recycling-proof identity of a process: a reused pid
+    gets a different start time. None where /proc is unavailable
+    (non-Linux) or unreadable."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read()
+        # field 22, counted after the comm field's closing paren
+        # (comm itself may contain spaces/parens)
+        return int(stat.rsplit(b")", 1)[1].split()[19])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _live_inflight_runs(out_dir: str) -> list[str]:
     """Sentinels of curation runs that look alive: pid still running,
     or (pid unreadable/foreign) younger than the staleness bound.
@@ -157,9 +172,15 @@ def _live_inflight_runs(out_dir: str) -> list[str]:
         if not name.startswith(_INFLIGHT_PREFIX):
             continue
         path = os.path.join(ck, name)
+        start_rec = None
         try:
             with open(path) as f:
-                pid = int(f.read().strip() or 0)
+                raw = f.read().strip()
+            if ":" in raw:
+                p, s = raw.split(":", 1)
+                pid, start_rec = int(p or 0), int(s)
+            else:
+                pid = int(raw or 0)
         except (OSError, ValueError):
             pid = 0
         alive = False
@@ -171,6 +192,15 @@ def _live_inflight_runs(out_dir: str) -> list[str]:
                 alive = False
             except PermissionError:
                 alive = True  # exists, owned by someone else
+            if alive and start_rec is not None:
+                # pid-recycling guard (round-6 advice): a live pid
+                # only counts when its kernel start time matches the
+                # one recorded at sentinel creation — a hard-killed
+                # run whose pid was reused by an unrelated long-lived
+                # process must not block vacuum/compact forever
+                cur = _pid_start(pid)
+                if cur is not None and cur != start_rec:
+                    alive = False
         try:
             fresh = (time.time() - os.path.getmtime(path)
                      ) < _INFLIGHT_STALE_SEC
@@ -1596,7 +1626,10 @@ def run_curation(
     os.makedirs(ck, exist_ok=True)
     sentinel = _inflight_path(out_dir, run_id)
     with open(sentinel, "w") as f:
-        f.write(str(os.getpid()))
+        # pid + kernel start time: recycling-proof liveness identity
+        _st = _pid_start(os.getpid())
+        f.write(f"{os.getpid()}:{_st}" if _st is not None
+                else str(os.getpid()))
     try:
         import time as _time
 
@@ -1619,13 +1652,20 @@ def run_curation(
                     cur, measured[nm] = _materialize(cur, prev_cached)
                     prev_cached = cur
                     stage_sec[nm] = round(_time.monotonic() - _t0, 3)
-                    if nm == "resume_anti_join":
-                        # processed manifest (incremental): every url
-                        # this run EVALUATED — what a later increment
+                    if nm == "resume_anti_join" or (
+                        nm == "url_canonicalize" and not incremental
+                    ):
+                        # processed manifest: every url this run
+                        # EVALUATED — what a later increment
                         # resume-anti-joins against. Written HERE,
                         # while the checkpoint's blocks are still
                         # alive (_materialize frees each stage once
-                        # its successor lands)
+                        # its successor lands). For a canonicalizing
+                        # FULL run the manifest must carry the
+                        # POST-canonicalization urls (the identity the
+                        # increment's resume compares against — the
+                        # raw-url manifest missed every respelled
+                        # committed url; round-6 advice item 1).
                         cur.select("url").write.mode(
                             "overwrite"
                         ).parquet(os.path.join(run_dir, "processed"))
@@ -1639,8 +1679,17 @@ def run_curation(
             stage_sec[last_enabled] = round(_time.monotonic() - _t0, 3)
             if not processed_written:
                 # full run: every non-blank input url was evaluated —
-                # a thin url-only projection straight off the scan
-                docs.select("url").write.mode("overwrite").parquet(
+                # a thin url-only projection straight off the scan.
+                # (A canonicalizing chain writes its manifest from the
+                # canonicalize stage output above; when canonicalize
+                # is the LAST enabled stage the survivors carry the
+                # canonical urls, so read them back instead.)
+                src = (
+                    spark.read.parquet(survivors_path)
+                    if canonicalize_urls and not incremental
+                    else docs
+                )
+                src.select("url").write.mode("overwrite").parquet(
                     os.path.join(run_dir, "processed")
                 )
         finally:
@@ -2038,7 +2087,10 @@ def compact_curation(
     ck = _ckpt(out_dir)
     sentinel = _inflight_path(out_dir, run_id)
     with open(sentinel, "w") as f:
-        f.write(str(os.getpid()))
+        # pid + kernel start time: recycling-proof liveness identity
+        _st = _pid_start(os.getpid())
+        f.write(f"{os.getpid()}:{_st}" if _st is not None
+                else str(os.getpid()))
     try:
         # survivors: the cumulative corpus, one directory
         surv = None

@@ -33,7 +33,11 @@ from ..functions.vectors import ivf_cell_udf
 # v2: acceptance bucket gained the "cluster_balance:" salt (stacked
 # rate filters on one unsalted bucket compose as min, not product) and
 # unembedded docs keep 100% with a NULL cell under supplied embeddings
-CLUSTER_BALANCE_VERSION = 2
+# v3: caller-supplied embeddings are restricted to the docs actually
+# reaching the stage (round-6 advice: foreign ids inflated n, the k
+# choice and the uniform target, silently deflating every cell's keep
+# rate — and the pair/train work was O(full table), not O(docs))
+CLUSTER_BALANCE_VERSION = 3
 
 
 def cluster_balanced_keep(
@@ -67,8 +71,9 @@ def cluster_balanced_keep(
     Caller-supplied ``embeddings`` contract: docs WITHOUT an embedding
     row cannot be assigned a cell and keep 100% (cell NULL) — the same
     never-dropped-for-being-unembedded behavior as
-    semdedup_survivors; embedding ids absent from ``docs`` count
-    toward n and the uniform target, so supply a covering frame.
+    semdedup_survivors; embedding ids absent from ``docs`` are
+    IGNORED (semi-joined away before counting n, training and the
+    uniform target — the semdedup_survivors contract, round-6 advice).
 
     Output: the surviving ``docs`` rows plus their ``cell``
     (nullable long).
@@ -76,7 +81,16 @@ def cluster_balanced_keep(
     if embeddings is None:
         emb = feature_hash_embed(docs, id_col=id_col, text_col=text_col)
     else:
-        emb = embeddings.select(
+        # restrict to the docs actually reaching the stage (the
+        # semdedup_survivors contract): an external embedding table
+        # naturally covers the WHOLE corpus, but foreign ids would
+        # inflate n, the k choice and the uniform target t = N/k —
+        # silently deflating every cell's keep rate (round-6 advice).
+        # Duplicate embedding rows per id remain the caller's contract
+        # (same as semdedup_survivors).
+        emb = embeddings.join(
+            docs.select(id_col), id_col, "left_semi"
+        ).select(
             F.col(id_col).alias("_id"),
             F.transform(F.col("v"), lambda x: x.cast("double")).alias("v"),
         )

@@ -31,7 +31,17 @@ from pyspark.sql import functions as F
 
 # bumps force a re-curate through the fingerprint: a changed
 # canonicalization changes url identity, hence survivors
-URL_CANON_VERSION = 1
+# v2: urls without a parseable scheme pass through UNCHANGED — v1
+# canonicalized every such url (schemeless, mailto:, bare paths) to
+# the literal "://" and the keep-first collapse silently destroyed all
+# but one of them (round-6 verdict item 1, reproduced data loss)
+URL_CANON_VERSION = 2
+
+# a url participates in canonicalization only when it starts with the
+# exact scheme shape canonical_parts parses (letters + "://"):
+# canonical_parts returns "" for every component otherwise, which
+# would collide all unparseable urls on the literal "://"
+_SCHEME_RE = r"^[A-Za-z]+://"
 
 
 def canonical_parts(url: Column):
@@ -85,12 +95,21 @@ def canonicalize_docs(docs: DataFrame, url_col: str = "url") -> DataFrame:
         path.alias("_uc_p"), query.alias("_uc_q"),
     ).select(
         *cols,
-        F.concat(
-            F.col("_uc_s"), F.lit("://"),
-            canonical_host(F.col("_uc_s"), F.col("_uc_hp")),
-            canonical_path(F.col("_uc_p")),
-            canonical_query(F.col("_uc_q")),
-        ).alias("_uc_url"),
+        # urls without a parseable scheme keep their RAW identity —
+        # identity, not collapse: canonical_parts yields "" for every
+        # component of such urls, so without this guard schemeless /
+        # mailto: / bare-path urls ALL canonicalized to the literal
+        # "://" and keep-first silently destroyed every one but one
+        # (round-6 verdict item 1; URL_CANON_VERSION 2)
+        F.when(
+            F.col(url_col).rlike(_SCHEME_RE),
+            F.concat(
+                F.col("_uc_s"), F.lit("://"),
+                canonical_host(F.col("_uc_s"), F.col("_uc_hp")),
+                canonical_path(F.col("_uc_p")),
+                canonical_query(F.col("_uc_q")),
+            ),
+        ).otherwise(F.col(url_col)).alias("_uc_url"),
     )
     w = Window.partitionBy("_uc_url").orderBy(url_col)
     return (

@@ -844,3 +844,52 @@ def test_semdedup_survivors_external_embeddings_restricted_to_docs(spark):
         ).collect()
     }
     assert got == {r["url"] for r in rows}
+
+
+def test_cluster_balance_external_embeddings_restricted_to_docs(spark):
+    """Round-6 advice: foreign ids in a caller-supplied embedding
+    table must not inflate n, the trained k, or the uniform target
+    t = N/k — they are semi-joined away before counting and training
+    (the semdedup_survivors contract). With the corpus-sized foreign
+    bulk excluded, every in-docs cell sits at/below the uniform target
+    and keeps 100%."""
+    import pandas as pd
+
+    from distributed_system___ocr_spark.operators.diversify import (
+        cluster_balanced_keep,
+    )
+
+    rows = [
+        {"url": f"https://ex.com/d{i:03d}", "text": f"doc {i}",
+         "lang": "en"}
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+
+    def vec(i):
+        v = [0.0] * 8
+        v[i % 8] = 1.0
+        return v
+
+    own_rows = [{"url": r["url"], "v": vec(i)}
+                for i, r in enumerate(rows)]
+    # a large FOREIGN block, all in one tight cluster: if it took
+    # part, n would be 106, the k choice and the uniform target
+    # t = n/k would shift, and the in-docs keep rates would deflate
+    foreign = [{"url": f"zzz-foreign-{j:03d}", "v": vec(0)}
+               for j in range(100)]
+    emb_full = spark.createDataFrame(pd.DataFrame(own_rows + foreign))
+    emb_own = spark.createDataFrame(pd.DataFrame(own_rows))
+
+    def kept(emb):
+        return {
+            r["url"]
+            for r in cluster_balanced_keep(
+                docs, alpha=0.5, embeddings=emb, k=3, id_col="url",
+                text_col="text",
+            ).collect()
+        }
+
+    # the corpus-wide table must behave EXACTLY like the restricted
+    # one (foreign rows semi-joined away before n/train/target)
+    assert kept(emb_full) == kept(emb_own)

@@ -106,3 +106,80 @@ def test_increment_canonicalization_must_match_chain(spark, tmp_path):
     assert {
         r["url"] for r in read_curated(spark, out, run_id="i1").collect()
     } == {"https://z.com/new"}
+
+
+def test_canonicalize_docs_passes_unparseable_urls_through(spark):
+    """Round-6 verdict item 1 (URL_CANON_VERSION 2): urls whose scheme
+    does not parse (schemeless, mailto:, bare paths) keep their RAW
+    identity — v1 canonicalized them ALL to the literal "://" and the
+    keep-first collapse destroyed every such doc but one."""
+    docs = spark.createDataFrame(pd.DataFrame([
+        _doc("example.com/a", "doc a " + _BODY),
+        _doc("other.org/b", "doc b " + _BODY),
+        _doc("mailto:x@y.z", "doc c " + _BODY),
+        _doc("relative/path", "doc d " + _BODY),
+        _doc("1http://bad-scheme.com/e", "doc e " + _BODY),
+        # a parseable url still canonicalizes alongside them
+        _doc("HTTPS://F.com:443/x?b=2&a=1#frag", "doc f " + _BODY),
+    ]))
+    got = {r["url"]: r["text"][:5] for r in canonicalize_docs(docs).collect()}
+    assert got == {
+        "example.com/a": "doc a",
+        "other.org/b": "doc b",
+        "mailto:x@y.z": "doc c",
+        "relative/path": "doc d",
+        "1http://bad-scheme.com/e": "doc e",
+        "https://f.com/x?a=1&b=2": "doc f",
+    }
+
+
+def test_canonicalize_docs_rows_in_rows_out_per_distinct_resource(spark):
+    """Row count out == number of distinct canonical identities (no
+    silent destruction of unparseable urls; parseable spelling twins
+    still collapse)."""
+    rows = [_doc(f"scheme-less-{i}/p", f"body {i} " + _BODY)
+            for i in range(10)]
+    rows += [_doc("https://a.com/x", "x one " + _BODY),
+             _doc("HTTPS://A.COM:443/x", "x two " + _BODY)]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    out = canonicalize_docs(docs)
+    assert out.count() == 11  # 10 unparseable + 1 collapsed resource
+
+
+def test_full_run_processed_manifest_carries_canonical_urls(
+    spark, tmp_path
+):
+    """Round-6 advice item 1: a canonicalizing FULL run must write its
+    processed-url manifest from the POST-canonicalization output. Base
+    urls whose raw spelling is NOT canonical (and urls the base
+    evaluated-and-DROPPED) must still resume-drop when resubmitted
+    under any spelling."""
+    out = str(tmp_path / "cur")
+    base = spark.createDataFrame(pd.DataFrame([
+        # raw spelling differs from canonical form
+        _doc("HTTPS://A.COM:443/keep?b=2&a=1#x", _BODY + " base"),
+        # evaluated but DROPPED by the gate (too short)
+        _doc("https://drop.me:443/short", "tiny"),
+    ]))
+    run_curation(
+        spark, base, out, run_id="b",
+        canonicalize_urls=True, quality_min_chars=30,
+    )
+    inc = spark.createDataFrame(pd.DataFrame([
+        # canonical respelling of the committed base url
+        _doc("https://a.com/keep?a=1&b=2", _BODY + " resubmitted"),
+        # respelling of the base-DROPPED url: evaluated, so it must
+        # resume-drop, not be re-evaluated
+        _doc("HTTPS://DROP.ME/short", "resubmitted longer text "
+             + " ".join(f"r{j:02d}" for j in range(60))),
+        _doc("https://z.com/new", "novel text "
+             + " ".join(f"n{j:02d}" for j in range(60))),
+    ]))
+    info = run_curation_increment(
+        spark, inc, out, run_id="i1",
+        canonicalize_urls=True, quality_min_chars=30,
+    )
+    assert info["n_after_resume"] == 1  # only the genuinely new url
+    assert {
+        r["url"] for r in read_curated(spark, out, run_id="i1").collect()
+    } == {"https://z.com/new"}
