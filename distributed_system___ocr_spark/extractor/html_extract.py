@@ -69,16 +69,38 @@ _KIND_OF = {
 # ---------------------------------------------------------------------------
 
 _RAWTEXT = {"script", "style", "textarea", "title"}
+# Branch order: tag first (the common case — the alternation branches
+# are mutually exclusive by first character, so order only affects
+# speed); comment/cdata stay ahead of doctype/pi (both match at
+# "<!--"). The trailing EMPTY branch makes every bare "<" match as a
+# 1-char token, so one C-level search() call per token replaces the
+# find("<") + match() pair (r07; byte-identical, golden-pinned).
 _TOKEN_RE = re.compile(
     r"""<(?:
-        !--.*?(?:-->|$)                                   # comment
+        (?P<close>/)?(?P<name>[a-zA-Z][a-zA-Z0-9:._-]*)   # tag name
+        (?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)>?          # attrs (quote-aware)
+      | !--.*?(?:-->|$)                                   # comment
       | !\[CDATA\[.*?(?:\]\]>|$)                          # cdata
       | [!?][^>]*>?                                       # doctype / pi
-      | (?P<close>/)?(?P<name>[a-zA-Z][a-zA-Z0-9:._-]*)   # tag name
-        (?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)>?          # attrs (quote-aware)
+      |                                                   # bare '<'
     )""",
     re.DOTALL | re.VERBOSE,
 )
+
+# one dict lookup per tag instead of a chain of set membership tests:
+# bitmask action codes for every tag name the scanner reacts to
+_SKIP, _LINK, _BLOCK, _FLUSH, _RAW = 1, 2, 4, 8, 16
+_TAG_CODE: dict = {}
+for _n in _SKIP_SUBTREE:
+    _TAG_CODE[_n] = _TAG_CODE.get(_n, 0) | _SKIP
+_TAG_CODE["a"] = _TAG_CODE.get("a", 0) | _LINK
+for _n in _BLOCK_TAGS:
+    _TAG_CODE[_n] = _TAG_CODE.get(_n, 0) | (
+        _FLUSH if _n in ("br", "hr") else _BLOCK
+    )
+for _n in _RAWTEXT:
+    _TAG_CODE[_n] = _TAG_CODE.get(_n, 0) | _RAW
+_WS = " \t\n\r\x0b\x0c"
 
 
 def _segment(html: str) -> list:
@@ -94,11 +116,13 @@ def _segment(html: str) -> list:
     link_depth = 0
     pos, n = 0, len(html)
     find = html.find
-    match = _TOKEN_RE.match
+    search = _TOKEN_RE.search
     kind_of = _KIND_OF.get
+    tag_code = _TAG_CODE.get
 
     while pos < n:
-        lt = find("<", pos)
+        m = search(html, pos)
+        lt = m.start() if m else -1
         if lt == -1:
             text = html[pos:]
             pos = n
@@ -118,34 +142,32 @@ def _segment(html: str) -> list:
                     link += c
         if lt == -1:
             break
-        m = match(html, lt)
-        if m is None:  # bare '<' that opens no construct: literal text
-            if not skip_depth:
-                parts.append("<")
-                total += 1
-                if link_depth:
-                    link += 1
-            pos = lt + 1
-            continue
         pos = m.end()
-        # positional groups (1=close, 2=name, 3=attrs) + lazy attrs
-        # fetch + islower fast path: ~1.3x on the scan loop, verified
-        # output-identical (golden sha256 manifest unchanged)
-        name = m.group(2)
-        if not name:  # comment/doctype/cdata/pi: no event
-            continue
+        # one C-level tuple fetch for all three groups (r07; was three
+        # separate group() calls), action codes via one dict lookup —
+        # verified output-identical (golden sha256 manifest unchanged)
+        close, name, attrs = m.group(1, 2, 3)
+        if not name:
+            if pos == lt + 1:  # bare '<' (empty branch): literal text
+                if not skip_depth:
+                    parts.append("<")
+                    total += 1
+                    if link_depth:
+                        link += 1
+            continue  # comment/doctype/cdata/pi: no event
         if not name.islower():
             name = name.lower()
-        if m.group(1):  # close tag
-            if name in _SKIP_SUBTREE:
+        code = tag_code(name, 0)
+        if close:
+            if code & _SKIP:
                 if skip_depth:
                     skip_depth -= 1
             elif skip_depth:
                 pass
-            elif name == "a":
+            elif code & _LINK:
                 if link_depth:
                     link_depth -= 1
-            elif name in _BLOCK_TAGS and name != "br" and name != "hr":
+            elif code & _BLOCK:
                 if parts:
                     blocks.append((kind, parts, total, link))
                 if kind_stack:
@@ -155,32 +177,34 @@ def _segment(html: str) -> list:
                 total = 0
                 link = 0
             continue
-        attrs = m.group(3)
-        if attrs and attrs.rstrip().endswith("/"):
+        if attrs and (
+            attrs[-1] == "/"
+            or (attrs[-1] in _WS and attrs.rstrip().endswith("/"))
+        ):
             # self-closed: only br/hr matter (block flush)
-            if not skip_depth and (name == "br" or name == "hr"):
+            if not skip_depth and code & _FLUSH:
                 if parts:
                     blocks.append((kind, parts, total, link))
                 parts = []
                 total = 0
                 link = 0
-        else:
-            if name in _SKIP_SUBTREE:
+        elif code:
+            if code & _SKIP:
                 skip_depth += 1
             elif skip_depth:
                 pass
-            elif name == "a":
+            elif code & _LINK:
                 link_depth += 1
-            elif name in _BLOCK_TAGS:
+            elif code & (_BLOCK | _FLUSH):
                 if parts:
                     blocks.append((kind, parts, total, link))
                 parts = []
                 total = 0
                 link = 0
-                if name != "br" and name != "hr":
+                if code & _BLOCK:
                     kind = kind_of(name, "p")
                     kind_stack.append(kind)
-            if name in _RAWTEXT:
+            if code & _RAW:
                 # CDATA content mode: no entity decoding, no nested tags
                 end = find(f"</{name}", pos)
                 if end == -1:
@@ -199,7 +223,7 @@ def _segment(html: str) -> list:
                 if end != -1:
                     gt = find(">", end)
                     # rawtext close tag: mirror the endtag branch above
-                    if name in _SKIP_SUBTREE:
+                    if code & _SKIP:
                         if skip_depth:
                             skip_depth -= 1
                     pos = n if gt == -1 else gt + 1
