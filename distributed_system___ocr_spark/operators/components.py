@@ -87,12 +87,19 @@ def connected_components(
     )
 
     # only pair-touched vertices iterate (sym is symmetrized, so the
-    # s column alone covers both endpoints; self-loops add no vertex)
+    # s column alone covers both endpoints; self-loops add no vertex).
+    # FUSED first round (r07): with identity labels, round 1's
+    # join+agg reduces to min(d) over each vertex's neighborhood (the
+    # self-loop supplies the vertex's own id), so the init computes it
+    # directly from the checkpointed edges — one groupBy instead of a
+    # distinct + a full join round. Result-identical; saves one
+    # join+agg+checkpoint+count cycle on every call (star graphs — the
+    # common near-dup shape — now converge in ONE loop iteration).
     labels = (
-        sym.select(F.col("s").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint()
+        sym.groupBy("s")
+        .agg(F.min("d").alias("component"))
+        .select(F.col("s").alias("id"), "component")
+        .localCheckpoint(eager=False)  # materialized by round 1's count
     )
 
     try:
@@ -108,7 +115,11 @@ def connected_components(
                     ).alias("_old"),
                 )
                 .select(F.col("s").alias("id"), "component", "_old")
-                .localCheckpoint()  # eager: materialized right here
+                # lazy: the changed-count below materializes the
+                # checkpoint and counts in ONE job (eager=True ran a
+                # materialize job, then count scanned the blocks again
+                # — two scheduled jobs per round; r07)
+                .localCheckpoint(eager=False)
             )
             changed = new_labels.filter(
                 F.col("component") != F.col("_old")

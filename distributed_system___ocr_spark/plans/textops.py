@@ -53,6 +53,37 @@ ELSE [] END
 _PAIR_LIMIT = 200  # oracle-side bound for pairwise comparisons
 
 
+def _staged_trigram_docs(spark, sf_dir):
+    """documents (doc_id < _PAIR_LIMIT) -> (doc_id, shingles) with the
+    tokenize STAGED in its own projection (r07, the gopher_quality_
+    filters SPARK-36718 discipline): the inline `_SPARK_TRIGRAMS`
+    macro re-evaluated `split(text)` inside the transform lambda —
+    three element_at probes per trigram, each re-running the split, an
+    O(n_tokens^2) expression per doc. Staging `t` once and slicing
+    makes it one split + three O(n) slices + one zip_with pass.
+    Value-identical: same trigram strings, and docs with < 3 tokens
+    produced an empty array (dropped by the downstream explode) — here
+    they are filtered before the slice for the same effect."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PAIR_LIMIT)
+        .select("doc_id", F.expr(_SPARK_TOKENS).alias("t"))
+    )
+    tri = F.expr(
+        """
+        CASE WHEN size(t) >= 3 THEN
+          transform(sequence(1, size(t) - 2),
+                    i -> concat(element_at(t, i), ' ',
+                                element_at(t, i + 1), ' ',
+                                element_at(t, i + 2)))
+        ELSE array() END
+        """
+    )
+    return toks.select(
+        "doc_id", F.array_distinct(tri).alias("shingles")
+    )
+
+
 # --------------------------------------------------------------------------
 # exact dedup by content hash
 # --------------------------------------------------------------------------
@@ -110,14 +141,7 @@ def dedup_trigram_jaccard(spark, sf_dir):
     round 1 broadcast a corpus-sized side here, which is an OOM at any
     real scale; carrying ``n`` removes both the broadcast and the two
     extra joins."""
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < _PAIR_LIMIT)
-        .select(
-            "doc_id",
-            F.array_distinct(F.expr(_SPARK_TRIGRAMS)).alias("shingles"),
-        )
-    )
+    docs = _staged_trigram_docs(spark, sf_dir)
     tri = docs.select(
         "doc_id",
         F.size("shingles").alias("n"),
@@ -205,6 +229,13 @@ _MINHASH_PAIRS_SQL = f"""
 
 @register("dedup_minhash_lsh", _MINHASH_PAIRS_SQL)
 def dedup_minhash_lsh(spark, sf_dir):
+    # inline, NOT staged via _staged_trigram_docs (r07): here the
+    # trigram expression is the Generate child, evaluated once per
+    # row with interpreted-mode subexpression elimination deduping
+    # the inner tokenize — measured 0.44 s exec inline vs 0.61 s
+    # staged (the staging's extra projections were pure overhead;
+    # dedup_trigram_jaccard stages because ITS old plan duplicated
+    # the expression across Filter and Project)
     tri = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _PAIR_LIMIT)
