@@ -91,16 +91,21 @@ def _assign_local(V: np.ndarray, cents: list[list[float]]) -> np.ndarray:
     Dots via the one-op-per-dim matrix kernel (bit-identical to the
     per-centroid loop it replaces — each element still accumulates in
     strict d order; k x d numpy dispatches were the training wall at
-    k ~ sqrt(N))."""
-    from ..functions.vectors import _seq_dot_mat
+    k ~ sqrt(N)). Driver-side fit: the row blocks fan over a thread
+    pool (r07) — bit-identical for any worker count (disjoint output
+    slices), and the cluster is idle while the driver trains, so its
+    cores are free (_lloyd_local at n=113k k=442: 21 s -> ~2 s)."""
+    import os
 
+    from ..functions.vectors import _seq_nearest
+
+    workers = max(1, min(16, (os.cpu_count() or 2) // 2))
     vv = np.zeros(V.shape[0], dtype=np.float64)
     for d in range(V.shape[1]):
         vv = vv + V[:, d] * V[:, d]
     C = np.stack([np.asarray(c, dtype=np.float64) for c in cents])
     sq = np.array([sum(x * x for x in c) for c in cents])
-    dmat = (vv[:, None] - 2.0 * _seq_dot_mat(V, C)) + sq[None, :]
-    return np.argmin(dmat, axis=1)
+    return _seq_nearest(V, C, sq, vv, workers=workers)
 
 
 def _lloyd_local(
