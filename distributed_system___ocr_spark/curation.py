@@ -652,6 +652,13 @@ def lm_quality_survivors(docs: DataFrame, drop_z: float) -> DataFrame:
     Docs with zero whitespace tokens cannot be scored and drop here
     (they cannot train either)."""
     toks_expr = "filter(split(text, ' '), x -> x <> '')"
+    # explicit isnotnull(url) (url is never null by the extraction
+    # contract, so no row changes): the score side's inner join on url
+    # INFERS this filter into its copy of the token-explode subtree;
+    # carrying it on the tf side too keeps both (url, term) exchanges
+    # canonically equal so AQE runs the explode stage ONCE and reuses
+    # it (r07 — same fix as the registry twin lm_quality_zbuckets)
+    docs = docs.filter(F.col("url").isNotNull())
     dtf = (
         docs.select("url", F.explode(F.expr(toks_expr)).alias("term"))
         .groupBy("url", "term")

@@ -1106,7 +1106,14 @@ _ZB_HI = 0.5  # z > +0.5 -> head; z < -0.5 -> tail
 def lm_quality_zbuckets(spark, sf_dir):
     from pyspark.sql import Window
 
-    d = _t(spark, sf_dir, "documents")
+    # explicit isnotnull(doc_id) — doc_id is the table key, so no row
+    # changes — because the score side's inner join on doc_id INFERS
+    # this filter and pushes it into its copy of the token-explode
+    # scan; without the same filter on the tf side the two (doc_id,
+    # term) exchanges are not canonically equal and AQE cannot reuse
+    # the explode stage (r07: restores the exchange reuse pinned by
+    # test_unigram_model_queries_explode_tokens_once)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     # ONE token explode (round-6) and ONE score pipeline (round-7):
     # the per-lang stats are a WINDOW over the lang partition of the
     # scored rows instead of a groupBy + broadcast-join back — `sl`
